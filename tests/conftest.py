@@ -1,0 +1,60 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Sharding/collective tests run on a fake 8-device CPU mesh (the standard JAX
+"fake backend": ``--xla_force_host_platform_device_count``), so the whole test
+suite runs without TPU hardware. The benchmark harness (bench.py) does NOT
+import this and runs on the real chip.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+ASSETS = Path("/root/reference/seamlessClone-OpenCV/images")
+
+
+def _imread(path):
+    import cv2
+
+    img = cv2.imread(str(path))
+    assert img is not None, f"missing test asset {path}"
+    return img
+
+
+@pytest.fixture(scope="session")
+def airplane():
+    return _imread(ASSETS / "airplane.jpg")
+
+
+@pytest.fixture(scope="session")
+def sky():
+    return _imread(ASSETS / "sky.jpg")
+
+
+@pytest.fixture(scope="session")
+def irregular_mask(airplane):
+    import cv2
+
+    mask = np.zeros(airplane.shape[:2], np.uint8)
+    cv2.circle(mask, (150, 97), 80, 255, -1)
+    cv2.rectangle(mask, (40, 30), (260, 120), 255, -1)
+    return mask
+
+
+@pytest.fixture(scope="session")
+def full_mask(airplane):
+    return np.full(airplane.shape[:2], 255, np.uint8)
