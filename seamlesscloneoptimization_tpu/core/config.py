@@ -1,0 +1,39 @@
+"""Runtime configuration (replaces the reference's compile-time #defines).
+
+The reference configures via preprocessor flags (SCDEBUG imp.h:13,
+SC_FFT_ENABLE imp.h:15, SC_Enable_Cooperative_Group imp.h:14, LOOPS
+imp.cu:290). Here it is a runtime dataclass: solver choice, clone mode,
+tolerances, debug dumping — no rebuild required.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+NORMAL_CLONE = 1
+MIXED_CLONE = 2
+MONOCHROME_TRANSFER = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class CloneConfig:
+    """Configuration for a SeamlessClone engine instance."""
+
+    solver: str = "dst_gemm"  # dst_gemm | dst_fft | jacobi | multigrid
+    flags: int = NORMAL_CLONE
+    tol: float = 1e-4  # relative residual tolerance (iterative solvers)
+    max_iters: int = 10000  # jacobi sweep cap
+    max_cycles: int = 60  # multigrid V-cycle cap
+    debug_dump: bool = False  # save per-stage arrays (ref: SCDEBUG dumps)
+    debug_dir: str = "/tmp/scl_debug"
+    donate_dst: bool = False  # buffer-donate dst for in-place update
+
+    def solver_kwargs(self) -> dict:
+        if self.solver == "jacobi":
+            return {"tol": self.tol, "max_iters": self.max_iters}
+        if self.solver == "multigrid":
+            return {"tol": self.tol, "max_cycles": self.max_cycles}
+        return {}
+
+    def cache_key_extras(self) -> tuple:
+        return (self.solver, self.flags, self.tol, self.max_iters, self.max_cycles)

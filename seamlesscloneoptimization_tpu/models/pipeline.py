@@ -1,0 +1,109 @@
+"""The seamless-clone pipeline as a single jit-able staged function.
+
+TPU-native equivalent of the reference engine orchestration
+(``SeamlessClone::run`` seamlessClone-CUDA/seamlessClone_imp.cpp:2105-2135:
+init_resize -> pre_process_v2 -> poissonSolver2D[_FFT] -> post_processing),
+re-designed for XLA:
+
+- The bbox is computed HOST-side before tracing (the mask arrives from the
+  host anyway), eliminating the reference's mid-pipeline device->host sync
+  (imp.cpp:1012). Bbox *size* is static (part of the jit cache key, like the
+  reference's FFTParams plan cache keyed on size, imp.cpp:40-43); bbox
+  *offsets* and the paste center are traced scalars, so moving the patch
+  around never recompiles.
+- Everything between the u8 inputs and the u8 output is one traced program:
+  XLA fuses layout conversion, erosion, guidance, RHS into a handful of
+  stencil fusions — the "fused pre-processing" the reference hand-built.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from seamlesscloneoptimization_tpu.ops.guidance import guidance_field
+from seamlesscloneoptimization_tpu.ops.layout import interleaved_to_planar, planar_to_interleaved
+from seamlesscloneoptimization_tpu.ops.mask import binarize_mask, erode3x3
+from seamlesscloneoptimization_tpu.ops.postprocess import postprocess_roi
+from seamlesscloneoptimization_tpu.ops.rhs import poisson_rhs
+
+
+def clone_roi(
+    dest_roi_u8: jnp.ndarray,
+    patch_u8: jnp.ndarray,
+    mask_roi: jnp.ndarray,
+    flags: int,
+    solver: Callable[..., jnp.ndarray],
+    solver_kwargs: dict[str, Any] | None = None,
+    return_stages: bool = False,
+):
+    """Clone on a pre-cropped ROI. All planar (C, H, W) u8 / (H, W) u8 mask.
+
+    ``patch_u8`` must already be zeroed outside the (pre-erosion) mask.
+    Returns the blended (C, H, W) uint8 ROI.
+    """
+    solver_kwargs = solver_kwargs or {}
+    mask_eroded = erode3x3(binarize_mask(mask_roi))
+    dest_f = dest_roi_u8.astype(jnp.float32)
+    patch_f = patch_u8.astype(jnp.float32)
+    gx, gy = guidance_field(dest_f, patch_f, mask_eroded, flags)
+    g = poisson_rhs(gx, gy, dest_f)
+    u = solver(g, **solver_kwargs)
+    blended = postprocess_roi(u, dest_roi_u8)
+    if return_stages:
+        return blended, {"mask_eroded": mask_eroded, "gx": gx, "gy": gy, "rhs": g, "u": u}
+    return blended
+
+
+def clone_pipeline(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    mask: jnp.ndarray,
+    bbox_xy: jnp.ndarray,
+    left_top: jnp.ndarray,
+    *,
+    bbox_hw: tuple[int, int],
+    flags: int,
+    solver: Callable[..., jnp.ndarray],
+    solver_kwargs: dict[str, Any] | None = None,
+):
+    """Full-image clone. Static: shapes, bbox_hw, flags, solver. Traced: offsets.
+
+    Args:
+      src: (hs, ws, C) uint8 source image (interleaved, as loaded).
+      dst: (hd, wd, C) uint8 destination image.
+      mask: (hs, ws) uint8 mask.
+      bbox_xy: (2,) int32 [x0, y0] of the mask bounding box (traced).
+      left_top: (2,) int32 [left, top] paste position in dst (traced).
+      bbox_hw: (bh, bw) static bounding-box size.
+      flags: NORMAL_CLONE | MIXED_CLONE | MONOCHROME_TRANSFER (static).
+
+    Returns (hd, wd, C) uint8 blended image.
+    """
+    bh, bw = bbox_hw
+    c = src.shape[2]
+    x0, y0 = bbox_xy[0], bbox_xy[1]
+    left, top = left_top[0], left_top[1]
+
+    src_p = interleaved_to_planar(src).astype(jnp.uint8)  # (C, hs, ws) u8
+    dst_p = interleaved_to_planar(dst).astype(jnp.uint8)  # (C, hd, wd) u8
+
+    mask_b = binarize_mask(mask)
+    # 1-px border-zero of the full mask (ref: setMaskBoundaryToConstant)
+    hs, ws = mask.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (hs, ws), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hs, ws), 1)
+    frame = (row == 0) | (row == hs - 1) | (col == 0) | (col == ws - 1)
+    mask_b = jnp.where(frame, jnp.uint8(0), mask_b)
+
+    mask_roi = jax.lax.dynamic_slice(mask_b, (y0, x0), (bh, bw))
+    src_roi = jax.lax.dynamic_slice(src_p, (0, y0, x0), (c, bh, bw))
+    patch = jnp.where(mask_roi[None] != 0, src_roi, jnp.uint8(0))
+    dest_roi = jax.lax.dynamic_slice(dst_p, (0, top, left), (c, bh, bw))
+
+    blended_roi = clone_roi(dest_roi, patch, mask_roi, flags, solver, solver_kwargs)
+
+    out_roi = planar_to_interleaved(blended_roi)  # (bh, bw, C)
+    return jax.lax.dynamic_update_slice(dst, out_roi, (top, left, jnp.int32(0)))

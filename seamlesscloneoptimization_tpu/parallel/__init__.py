@@ -1,0 +1,15 @@
+from seamlesscloneoptimization_tpu.parallel.mesh import make_tile_mesh
+from seamlesscloneoptimization_tpu.parallel.tiled import (
+    halo_exchange,
+    solve_redblack_tiled,
+    solve_multigrid_sharded,
+)
+from seamlesscloneoptimization_tpu.parallel.batch import clone_roi_batch
+
+__all__ = [
+    "make_tile_mesh",
+    "halo_exchange",
+    "solve_redblack_tiled",
+    "solve_multigrid_sharded",
+    "clone_roi_batch",
+]

@@ -1,0 +1,41 @@
+"""Poisson solvers on the interior grid.
+
+All solvers share one contract:
+
+    solve(g: f32[C, H, W]) -> f32[C, H, W]
+
+solving the 5-point Dirichlet system  A u = g  where
+``A u = u[i-1,j] + u[i+1,j] + u[i,j-1] + u[i,j+1] - 4 u[i,j]`` with an
+implicit zero frame (the Dirichlet boundary values are already folded into
+``g`` by ops/rhs.py).
+
+- dst_gemm: exact direct solve via the DST eigenbasis as batched GEMMs (MXU).
+  TPU-native redesign of the reference's cuBLAS path (seamlessClone_imp.cpp:
+  1322-1334).
+- dst_fft: exact direct solve via FFT-based DST (odd extension). TPU-native
+  redesign of the reference's cuFFT path (seamlessClone_imp.cpp:1694-1918).
+- jacobi: red-black Gauss-Seidel relaxation (iterative; the smoother).
+- multigrid: geometric multigrid V-cycles with red-black smoothing (the
+  north-star iterative solver; O(N) per digit of accuracy).
+"""
+
+from seamlesscloneoptimization_tpu.solvers.dst_gemm import solve_dst_gemm
+from seamlesscloneoptimization_tpu.solvers.dst_fft import solve_dst_fft
+from seamlesscloneoptimization_tpu.solvers.jacobi import solve_redblack, redblack_sweep
+from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+SOLVERS = {
+    "dst_gemm": solve_dst_gemm,
+    "dst_fft": solve_dst_fft,
+    "jacobi": solve_redblack,
+    "multigrid": solve_multigrid,
+}
+
+__all__ = [
+    "SOLVERS",
+    "solve_dst_gemm",
+    "solve_dst_fft",
+    "solve_redblack",
+    "redblack_sweep",
+    "solve_multigrid",
+]

@@ -8,12 +8,19 @@ import this and runs on the real chip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU for tests even when the session default is the TPU tunnel
+# (JAX_PLATFORMS=axon): the suite needs 8 virtual devices. jax may already
+# be imported by site hooks, so set the config directly as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path

@@ -1,0 +1,91 @@
+"""JAX pipeline vs the NumPy oracle and vs cv2 (golden), all solvers."""
+
+import cv2
+import numpy as np
+import pytest
+
+from seamlesscloneoptimization_tpu.api import seamless_clone
+from seamlesscloneoptimization_tpu.core import reference as R
+from seamlesscloneoptimization_tpu.core.config import CloneConfig
+from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+
+
+def diff_stats(a, b):
+    d = cv2.absdiff(np.asarray(a), np.asarray(b))
+    return int(d.sum()), int(d.max())
+
+
+class TestJaxVsOracle:
+    @pytest.mark.parametrize("solver", ["dst_gemm", "dst_fft"])
+    def test_direct_solvers_match_oracle(self, airplane, sky, irregular_mask, solver):
+        oracle = R.seamless_clone_np(airplane, sky, irregular_mask.copy(), (700, 300))
+        out = seamless_clone(airplane, sky, irregular_mask.copy(), (700, 300), solver=solver)
+        s, m = diff_stats(oracle, out)
+        assert m <= 1, f"{solver}: diff max {m}"
+
+    def test_multigrid_matches_oracle(self, airplane, sky, irregular_mask):
+        oracle = R.seamless_clone_np(airplane, sky, irregular_mask.copy(), (700, 300))
+        out = seamless_clone(
+            airplane, sky, irregular_mask.copy(), (700, 300), solver="multigrid", tol=1e-6
+        )
+        s, m = diff_stats(oracle, out)
+        assert m <= 1, f"multigrid: diff max {m}, sum {s}"
+
+    @pytest.mark.parametrize("flags", [R.NORMAL_CLONE, R.MIXED_CLONE, R.MONOCHROME_TRANSFER])
+    def test_all_modes_match_oracle(self, airplane, sky, irregular_mask, flags):
+        oracle = R.seamless_clone_np(airplane, sky, irregular_mask.copy(), (700, 300), flags=flags)
+        out = seamless_clone(airplane, sky, irregular_mask.copy(), (700, 300), flags=flags)
+        s, m = diff_stats(oracle, out)
+        assert m <= 1, f"flags={flags}: diff max {m}"
+
+
+class TestJaxVsGolden:
+    def test_normal_bitclose_vs_cv2(self, airplane, sky, full_mask):
+        golden = cv2.seamlessClone(airplane, sky, full_mask.copy(), (800, 150), cv2.NORMAL_CLONE)
+        out = seamless_clone(airplane, sky, full_mask.copy(), (800, 150))
+        s, m = diff_stats(golden, out)
+        assert m <= 1, f"diff max {m}"
+        assert s <= 1500, f"diff sum {s}"
+
+
+class TestEngine:
+    def test_instance_reuse_no_recompile(self, airplane, sky, full_mask):
+        eng = SeamlessClone(CloneConfig(solver="dst_gemm"))
+        eng.run(airplane, sky, full_mask.copy(), (800, 150))
+        n_compiled = len(eng._cache)
+        for cx in (790, 800, 810):  # moving the center must not recompile
+            eng.run(airplane, sky, full_mask.copy(), (cx, 150))
+        eng.sync()
+        assert len(eng._cache) == n_compiled == 1
+
+    def test_empty_mask_returns_dst(self, airplane, sky):
+        eng = SeamlessClone()
+        out = eng.run(airplane, sky, np.zeros(airplane.shape[:2], np.uint8), (800, 150))
+        assert np.array_equal(np.asarray(out), sky)
+
+    def test_out_of_bounds_raises(self, airplane, sky, full_mask):
+        eng = SeamlessClone()
+        with pytest.raises(ValueError):
+            eng.run(airplane, sky, full_mask.copy(), (5, 5))
+
+    def test_timed_run_metrics(self, airplane, sky, full_mask):
+        eng = SeamlessClone()
+        _, ms = eng.timed_run(airplane, sky, full_mask.copy(), (800, 150), loops=2, warmup=1)
+        assert ms > 0
+        assert "compute_ms" in eng.metrics
+
+
+class TestBatch:
+    def test_sequential_batch_composites(self, airplane, sky):
+        from seamlesscloneoptimization_tpu.api import seamless_clone_batch
+
+        mask = np.full(airplane.shape[:2], 255, np.uint8)
+        out = seamless_clone_batch(
+            [airplane, airplane],
+            sky,
+            [mask.copy(), mask.copy()],
+            [(300, 150), (1100, 600)],
+        )
+        # both ROIs changed
+        assert not np.array_equal(out[50:250, 150:450], sky[50:250, 150:450])
+        assert not np.array_equal(out[500:700, 950:1250], sky[500:700, 950:1250])

@@ -1,0 +1,52 @@
+"""Pallas kernel tests (interpret mode on CPU) vs the XLA/oracle stages."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+    preprocess_rhs_pallas,
+    rb_sweeps_pallas,
+)
+from seamlesscloneoptimization_tpu.solvers.jacobi import redblack_sweep
+
+
+def _rand(shape, seed=0, scale=50.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+
+class TestRBSweepsPallas:
+    @pytest.mark.parametrize("hw", [(16, 128), (30, 61), (100, 200)])
+    def test_matches_xla_sweeps(self, hw):
+        h, w = hw
+        g = _rand((3, h, w), seed=1)
+        u0 = _rand((3, h, w), seed=2, scale=10.0)
+        u_pl = rb_sweeps_pallas(u0, g, n_sweeps=4, interpret=True)
+        u_x = u0
+        for _ in range(4):
+            u_x = redblack_sweep(u_x, g)
+        np.testing.assert_allclose(np.asarray(u_pl), np.asarray(u_x), atol=1e-3, rtol=1e-5)
+
+
+class TestPreprocessPallas:
+    @pytest.mark.parametrize("flags", [1, 2])
+    def test_matches_oracle_rhs(self, airplane, sky, irregular_mask, flags):
+        from seamlesscloneoptimization_tpu.core import reference as R
+
+        _, st = R.seamless_clone_np(
+            airplane, sky, irregular_mask.copy(), (700, 300), flags=flags, return_stages=True
+        )
+        left, top = st["left_top"]
+        _, _, bw, bh = st["bbox"]
+        dest_roi = np.transpose(sky[top : top + bh, left : left + bw], (2, 0, 1)).astype(np.float32)
+        patch = np.transpose(st["patch"], (2, 0, 1)).astype(np.float32)
+        g = preprocess_rhs_pallas(
+            jnp.asarray(dest_roi),
+            jnp.asarray(patch),
+            jnp.asarray(st["mask_roi"]),
+            flags=flags,
+            interpret=True,
+        )
+        want = np.transpose(st["rhs"], (2, 0, 1))
+        np.testing.assert_allclose(np.asarray(g), want, atol=1e-3)

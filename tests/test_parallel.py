@@ -1,0 +1,129 @@
+"""Distributed-solve tests on the 8-device virtual CPU mesh.
+
+Halo-exchange correctness and tiled-solver convergence are validated against
+the single-device exact DST solution — the fake-backend strategy from
+SURVEY §4 (multi-device semantics without TPU hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from seamlesscloneoptimization_tpu.parallel import (
+    make_tile_mesh,
+    solve_multigrid_sharded,
+    solve_redblack_tiled,
+)
+from seamlesscloneoptimization_tpu.parallel.tiled import halo_exchange
+from seamlesscloneoptimization_tpu.solvers import solve_dst_gemm
+
+
+def _rand_g(h, w, c=3, seed=0, scale=50.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(c, h, w)).astype(np.float32) * scale)
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_tile_mesh(jax.devices()[:8], (2, 4))
+
+
+@pytest.fixture(scope="module")
+def mesh18():
+    return make_tile_mesh(jax.devices()[:8], (1, 8))
+
+
+class TestHaloExchange:
+    def test_halo_matches_global_pad(self, mesh24):
+        """shard_map halo_exchange must reproduce the global zero-padded array."""
+        h, w = 16, 32
+        x = _rand_g(h, w, c=2, seed=1)
+        ty, tx = 2, 4
+        th, tw = h // ty, w // tx
+
+        def local(x_loc):
+            return halo_exchange(x_loc, ty, tx)
+
+        padded_tiles = shard_map(
+            local,
+            mesh=mesh24,
+            in_specs=(P(None, "ty", "tx"),),
+            out_specs=P(None, "ty", "tx"),
+        )(x)
+        # out_specs concatenates (th+2, tw+2) tiles; fetch per-tile shards
+        # and compare each against the globally zero-padded array.
+        xg = np.asarray(jnp.pad(x, ((0, 0), (1, 1), (1, 1))))
+        tiles = np.asarray(padded_tiles).reshape(2, ty, th + 2, tx, tw + 2)
+        for i in range(ty):
+            for j in range(tx):
+                tile = tiles[:, i, :, j, :].copy()
+                want = xg[:, i * th : i * th + th + 2, j * tw : j * tw + tw + 2].copy()
+                # corners may differ (stale neighbor corners); zero both
+                for a in (0, -1):
+                    for b in (0, -1):
+                        tile[:, a, b] = 0
+                        want[:, a, b] = 0
+                np.testing.assert_allclose(tile, want, rtol=0, atol=0)
+
+
+class TestTiledSolvers:
+    @pytest.mark.parametrize("meshname", ["mesh24", "mesh18"])
+    def test_redblack_tiled_matches_exact(self, request, meshname):
+        mesh = request.getfixturevalue(meshname)
+        g = _rand_g(32, 64, seed=2)
+        u = solve_redblack_tiled(g, mesh, tol=1e-5, max_iters=40000)
+        exact = solve_dst_gemm(g)
+        rel = float(jnp.abs(u - exact).max() / jnp.abs(exact).max())
+        assert rel < 1e-2, rel
+
+    def test_redblack_tiled_padded_domain(self, mesh24):
+        # true domain 30x61 embedded in 32x64 tile-divisible grid
+        g_true = _rand_g(30, 61, seed=3)
+        g = jnp.zeros((3, 32, 64), jnp.float32).at[:, :30, :61].set(g_true)
+        u = solve_redblack_tiled(g, mesh24, true_hw=(30, 61), tol=1e-5, max_iters=40000)
+        exact = solve_dst_gemm(g_true)
+        rel = float(jnp.abs(u[:, :30, :61] - exact).max() / jnp.abs(exact).max())
+        assert rel < 1e-2, rel
+        assert float(jnp.abs(u[:, 30:, :]).max()) == 0.0
+        assert float(jnp.abs(u[:, :, 61:]).max()) == 0.0
+
+    def test_multigrid_sharded_matches_exact(self, mesh24):
+        g = _rand_g(64, 128, seed=4)
+        u = solve_multigrid_sharded(g, mesh24, tol=1e-5)
+        exact = solve_dst_gemm(g)
+        rel = float(jnp.abs(u - exact).max() / jnp.abs(exact).max())
+        assert rel < 1e-3, rel
+
+
+class TestBatch:
+    def test_fused_batch_matches_sequential(self, airplane, sky):
+        import cv2
+
+        from seamlesscloneoptimization_tpu.parallel.batch import clone_batch_composite
+        from seamlesscloneoptimization_tpu.solvers import solve_dst_gemm
+        from seamlesscloneoptimization_tpu.core import reference as R
+
+        # two non-overlapping jobs with a common ROI bucket
+        patch = airplane[:64, :96]
+        mask = np.zeros((64, 96), np.uint8)
+        cv2.circle(mask, (48, 32), 25, 255, -1)
+        m = R.zero_mask_border(mask)
+        x0, y0, bw, bh = R.mask_bounding_box(m)
+        srcs = np.stack([patch[y0 : y0 + bh, x0 : x0 + bw]] * 2)
+        masks = np.stack([m[y0 : y0 + bh, x0 : x0 + bw]] * 2)
+        centers = [(300, 200), (800, 500)]
+        lts = np.array([[cx - bw // 2, cy - bh // 2] for cx, cy in centers], np.int32)
+
+        out = clone_batch_composite(
+            jnp.asarray(sky), jnp.asarray(srcs), jnp.asarray(masks), jnp.asarray(lts),
+            1, solve_dst_gemm, (bh, bw),
+        )
+        seq = sky.copy()
+        for c in centers:
+            seq = R.seamless_clone_np(patch, seq, mask, c)
+        d = np.abs(np.asarray(out).astype(int) - seq.astype(int))
+        assert d.max() <= 1, d.max()

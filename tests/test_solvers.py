@@ -1,0 +1,102 @@
+"""Solver unit tests: exactness, cross-checks, convergence.
+
+The DST solvers are exact (validated against the operator and each other);
+Jacobi/multigrid must converge to the DST answer within tolerance — the
+reference's 'with-FFT vs with-GEMM' cross-check (PDF §1.1 table) generalized.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seamlesscloneoptimization_tpu.solvers import (
+    solve_dst_fft,
+    solve_dst_gemm,
+    solve_multigrid,
+    solve_redblack,
+)
+from seamlesscloneoptimization_tpu.solvers.jacobi import residual
+from seamlesscloneoptimization_tpu.solvers.multigrid import prolong_bilinear, restrict_fw
+
+
+def _rand_g(h, w, c=3, seed=0, scale=50.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(c, h, w)).astype(np.float32) * scale)
+
+
+def _apply_A(u):
+    up = jnp.pad(u, ((0, 0), (1, 1), (1, 1)))
+    return up[:, :-2, 1:-1] + up[:, 2:, 1:-1] + up[:, 1:-1, :-2] + up[:, 1:-1, 2:] - 4 * u
+
+
+SIZES = [(7, 9), (32, 32), (63, 127), (190, 296), (100, 53)]
+
+
+class TestDirectSolvers:
+    @pytest.mark.parametrize("hw", SIZES)
+    def test_dst_gemm_solves_operator(self, hw):
+        g = _rand_g(*hw)
+        u = solve_dst_gemm(g)
+        err = jnp.abs(_apply_A(u) - g).max() / jnp.abs(g).max()
+        assert err < 1e-4, f"rel residual {err}"
+
+    @pytest.mark.parametrize("hw", SIZES)
+    def test_fft_matches_gemm(self, hw):
+        g = _rand_g(*hw, seed=1)
+        u1 = solve_dst_gemm(g)
+        u2 = solve_dst_fft(g)
+        scale = jnp.abs(u1).max()
+        assert jnp.abs(u1 - u2).max() / scale < 1e-4
+
+    def test_dst_transform_orthogonal(self):
+        from seamlesscloneoptimization_tpu.solvers.dst_fft import dst1_2d
+
+        x = _rand_g(33, 65, c=1, seed=2, scale=1.0)
+        xx = dst1_2d(dst1_2d(x))
+        assert jnp.abs(xx - x).max() < 1e-4
+
+
+class TestIterativeSolvers:
+    @pytest.mark.parametrize("hw", [(31, 31), (64, 48)])
+    def test_redblack_converges(self, hw):
+        g = _rand_g(*hw, seed=3)
+        u = solve_redblack(g, tol=1e-5, max_iters=20000)
+        exact = solve_dst_gemm(g)
+        assert jnp.abs(u - exact).max() / jnp.abs(exact).max() < 1e-2
+
+    @pytest.mark.parametrize("hw", [(31, 31), (63, 127), (190, 296), (100, 53), (256, 256)])
+    def test_multigrid_converges(self, hw):
+        g = _rand_g(*hw, seed=4)
+        u = solve_multigrid(g, tol=1e-5, max_cycles=60)
+        r = jnp.abs(residual(u, g)).max() / jnp.abs(g).max()
+        assert r < 1e-5, f"rel residual {r}"  # ~f32 floor; 1e-6 is unreachable
+        exact = solve_dst_gemm(g)
+        assert jnp.abs(u - exact).max() / jnp.abs(exact).max() < 1e-3
+
+    def test_multigrid_fast_convergence_rate(self):
+        # A V(2,2) cycle on a smooth problem must contract the residual by
+        # >=4x per cycle on average (sanity check that MG is really MG).
+        from seamlesscloneoptimization_tpu.solvers.multigrid import vcycle
+
+        g = _rand_g(129, 129, c=1, seed=5)
+        u = jnp.zeros_like(g)
+        r0 = float(jnp.abs(residual(u, g)).max())
+        n = 6
+        for _ in range(n):
+            u = vcycle(u, g)
+        rn = float(jnp.abs(residual(u, g)).max())
+        rate = (rn / r0) ** (1.0 / n)
+        assert rate < 0.25, f"avg contraction {rate}"
+
+    def test_restrict_prolong_shapes(self):
+        r = _rand_g(63, 127, c=1)
+        rc = restrict_fw(r)
+        assert rc.shape == (1, 31, 63)
+        e = prolong_bilinear(rc, 63, 127)
+        assert e.shape == (1, 63, 127)
+        # even sizes
+        r = _rand_g(64, 100, c=1)
+        rc = restrict_fw(r)
+        assert rc.shape == (1, 31, 49)
+        assert prolong_bilinear(rc, 64, 100).shape == (1, 64, 100)
