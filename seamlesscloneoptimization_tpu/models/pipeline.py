@@ -87,8 +87,12 @@ def clone_pipeline(
     x0, y0 = bbox_xy[0], bbox_xy[1]
     left, top = left_top[0], left_top[1]
 
-    src_p = interleaved_to_planar(src).astype(jnp.uint8)  # (C, hs, ws) u8
-    dst_p = interleaved_to_planar(dst).astype(jnp.uint8)  # (C, hd, wd) u8
+    # ROI-first: slice the interleaved u8 inputs BEFORE any layout/dtype
+    # conversion, so only bbox-sized data is transposed/converted — never the
+    # full destination (the full-image planar convert costs more than the
+    # whole Poisson solve at 4K+ sizes).
+    src_roi = jax.lax.dynamic_slice(src, (y0, x0, jnp.int32(0)), (bh, bw, c))
+    dest_roi = jax.lax.dynamic_slice(dst, (top, left, jnp.int32(0)), (bh, bw, c))
 
     mask_b = binarize_mask(mask)
     # 1-px border-zero of the full mask (ref: setMaskBoundaryToConstant)
@@ -97,13 +101,13 @@ def clone_pipeline(
     col = jax.lax.broadcasted_iota(jnp.int32, (hs, ws), 1)
     frame = (row == 0) | (row == hs - 1) | (col == 0) | (col == ws - 1)
     mask_b = jnp.where(frame, jnp.uint8(0), mask_b)
-
     mask_roi = jax.lax.dynamic_slice(mask_b, (y0, x0), (bh, bw))
-    src_roi = jax.lax.dynamic_slice(src_p, (0, y0, x0), (c, bh, bw))
-    patch = jnp.where(mask_roi[None] != 0, src_roi, jnp.uint8(0))
-    dest_roi = jax.lax.dynamic_slice(dst_p, (0, top, left), (c, bh, bw))
 
-    blended_roi = clone_roi(dest_roi, patch, mask_roi, flags, solver, solver_kwargs)
+    src_p = interleaved_to_planar(src_roi).astype(jnp.uint8)  # (C, bh, bw) u8
+    dest_p = interleaved_to_planar(dest_roi).astype(jnp.uint8)
+    patch = jnp.where(mask_roi[None] != 0, src_p, jnp.uint8(0))
+
+    blended_roi = clone_roi(dest_p, patch, mask_roi, flags, solver, solver_kwargs)
 
     out_roi = planar_to_interleaved(blended_roi)  # (bh, bw, C)
     return jax.lax.dynamic_update_slice(dst, out_roi, (top, left, jnp.int32(0)))
