@@ -1,0 +1,88 @@
+"""CLI mirroring the reference's ``seamlessClone_main``.
+
+Reference argv contract (seamlessClone-CUDA/seamlessClone_main.cu:74-80):
+
+    ./seamlessClone_main src.yml dst.yml mask.yml centerX centerY gpu_id
+
+Here:
+
+    python -m seamlesscloneoptimization_tpu.cli src.yml dst.yml mask.yml \
+        centerX centerY [device_id] [--solver S] [--flags F] [--loops N] \
+        [--output-dir DIR]
+
+Inputs are OpenCV-FileStorage YAML matrices (the reference's bit-exact
+fixture format, read by the native C++ parser); outputs are the blended BMP
+(``ucRGB_Output.bmp``, the reference artifact name, seamlessClone_imp.cu:
+206-216) plus a result YAML, with the reference's timing/memory printout
+(imp.cu:343-346).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="seamlessclone-tpu", description=__doc__)
+    p.add_argument("src_yml")
+    p.add_argument("dst_yml")
+    p.add_argument("mask_yml")
+    p.add_argument("center_x", type=int)
+    p.add_argument("center_y", type=int)
+    p.add_argument("device_id", type=int, nargs="?", default=0)
+    p.add_argument("--solver", default="dst_gemm",
+                   choices=["dst_gemm", "dst_fft", "jacobi", "multigrid"])
+    p.add_argument("--flags", type=int, default=1,
+                   help="1=NORMAL_CLONE 2=MIXED_CLONE 3=MONOCHROME_TRANSFER")
+    p.add_argument("--loops", type=int, default=1,
+                   help="timed loops after warm-up (ref LOOPS, imp.cu:290)")
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--debug-dump", action="store_true",
+                   help="save per-stage arrays (ref SCDEBUG)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from seamlesscloneoptimization_tpu import native
+    from seamlesscloneoptimization_tpu.core.config import CloneConfig
+    from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+
+    devices = jax.devices()
+    if args.device_id >= len(devices):
+        print(f"device {args.device_id} not available (have {len(devices)})", file=sys.stderr)
+        return 2
+    device = devices[args.device_id]
+    print(f"using device {device} ({len(devices)} visible)")
+
+    src = native.read_yaml_mat(args.src_yml)
+    dst = native.read_yaml_mat(args.dst_yml)
+    mask = native.read_yaml_mat(args.mask_yml)
+    print(f"src {src.shape} dst {dst.shape} mask {mask.shape}")
+
+    eng = SeamlessClone(
+        CloneConfig(solver=args.solver, flags=args.flags, debug_dump=args.debug_dump),
+        device=device,
+    )
+    out, ms = eng.timed_run(src, dst, mask, (args.center_x, args.center_y),
+                            loops=args.loops, warmup=1)
+
+    outdir = Path(args.output_dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    import numpy as np
+
+    out_np = np.asarray(out)
+    native.write_bmp(outdir / "ucRGB_Output.bmp", out_np)
+    native.write_yaml_mat(outdir / "result.yml", out_np, name="result")
+
+    # The reference printout format (seamlessClone_imp.cu:343-346).
+    bh, bw = eng.metrics["bbox"][3], eng.metrics["bbox"][2]
+    print(f"Compute stage performance time= {ms:.3f} msec, patch size={bw}x{bh}")
+    print(f"total device memory used: {eng.device_memory_bytes()} bytes")
+    print(f"wrote {outdir / 'ucRGB_Output.bmp'} and {outdir / 'result.yml'}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

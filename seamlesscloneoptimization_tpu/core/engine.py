@@ -76,8 +76,17 @@ class SeamlessClone:
         mask = np.asarray(mask)
         if mask.ndim == 3:
             mask = mask[..., 0]
-        m = zero_mask_border(np.where(mask != 0, np.uint8(255), np.uint8(0)))
-        x0, y0, bw, bh = mask_bounding_box(m)
+        try:
+            from seamlesscloneoptimization_tpu import native
+
+            have_native = native.HAVE_NATIVE
+        except Exception:
+            have_native = False
+        if have_native:
+            m, (x0, y0, bw, bh) = native.prep_mask(mask)
+        else:
+            m = zero_mask_border(np.where(mask != 0, np.uint8(255), np.uint8(0)))
+            x0, y0, bw, bh = mask_bounding_box(m)
         if bw == 0 or bh == 0:
             return None
         cx, cy = center
@@ -201,6 +210,70 @@ class SeamlessClone:
         self.metrics["sync_overhead_ms"] = rpc_ms
         self.metrics["device_memory_bytes"] = self.device_memory_bytes()
         return out, mean_ms
+
+    def dump_stages(self, src, dst, mask, center, flags: int | None = None):
+        """Run one clone saving every intermediate stage (ref: SCDEBUG mode).
+
+        The reference dumps per-stage tensors under ``#define SCDEBUG``
+        (write2Yaml2, imp.h:306-366; the RHS channels as g{0,1,2}.yml,
+        imp.cpp:2116) for the g-vs-mod_diff debugging method (compare/vs.py:
+        81-86). This writes the same artifacts into ``config.debug_dir``:
+        mask_eroded.yml, gx/gy .npy, g{0,1,2}.yml, u.npy, output.bmp.
+        Returns (out_image, stages dict of numpy arrays).
+        """
+        from pathlib import Path
+
+        import jax.numpy as jnp
+
+        from seamlesscloneoptimization_tpu.models.pipeline import clone_roi
+        from seamlesscloneoptimization_tpu.ops.layout import (
+            interleaved_to_planar,
+            planar_to_interleaved,
+        )
+
+        flags = self.config.flags if flags is None else flags
+        src = np.asarray(src)
+        dst = np.asarray(dst)
+        if mask is None:
+            mask = np.full(src.shape[:2], 255, np.uint8)
+        prep = self._prepare(mask, src.shape, dst.shape, center)
+        assert prep is not None, "empty mask"
+        m, (x0, y0), (left, top), (bh, bw) = prep
+
+        mask_roi = m[y0 : y0 + bh, x0 : x0 + bw]
+        src_roi = np.where(mask_roi[..., None] != 0, src[y0 : y0 + bh, x0 : x0 + bw], 0)
+        dest_roi = dst[top : top + bh, left : left + bw]
+        solver = SOLVERS[self.config.solver]
+        blended, stages = clone_roi(
+            jnp.asarray(interleaved_to_planar(jnp.asarray(dest_roi)).astype(jnp.uint8)),
+            jnp.asarray(interleaved_to_planar(jnp.asarray(src_roi)).astype(jnp.uint8)),
+            jnp.asarray(mask_roi),
+            flags,
+            solver,
+            self.config.solver_kwargs(),
+            return_stages=True,
+        )
+        out = dst.copy()
+        out[top : top + bh, left : left + bw] = np.asarray(planar_to_interleaved(blended))
+        stages = {k: np.asarray(v) for k, v in stages.items()}
+        stages["mask_roi"] = mask_roi
+        stages["bbox"] = np.array([x0, y0, bw, bh])
+        stages["left_top"] = np.array([left, top])
+
+        d = Path(self.config.debug_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        try:
+            from seamlesscloneoptimization_tpu import native
+
+            native.write_yaml_mat(d / "mask_eroded.yml", stages["mask_eroded"], "mask_eroded")
+            for c in range(stages["rhs"].shape[0]):
+                native.write_yaml_mat(d / f"g{c}.yml", stages["rhs"][c], f"g{c}")
+            native.write_bmp(d / "output.bmp", out)
+        except Exception:
+            pass
+        for k in ("gx", "gy", "u", "rhs"):
+            np.save(d / f"{k}.npy", stages[k])
+        return out, stages
 
     def destroy(self):
         """Drop cached executables (ref: _destroy)."""
