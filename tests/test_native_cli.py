@@ -158,3 +158,22 @@ class TestDebugDump:
         # the dumped RHS reloads bit-exactly (the g-vs-mod_diff method)
         g0 = native.read_yaml_mat(tmp_path / "dbg" / "g0.yml")
         assert np.array_equal(g0, stages["rhs"][0])
+
+
+class TestCApi:
+    def test_c_abi_smoke(self):
+        """Build libseamlessclone_tpu.so + the C test program and run it.
+
+        The C ABI (native/src/capi.cpp) mirrors the reference extern-C
+        surface (seamlessclone_cuda.h:6-62); the smoke test drives
+        create/run/sync/destroy from plain C with the CPU backend.
+        """
+        import subprocess
+        from pathlib import Path
+
+        native_dir = Path(__file__).resolve().parent.parent / "seamlesscloneoptimization_tpu" / "native"
+        r = subprocess.run(
+            ["make", "test"], cwd=native_dir, capture_output=True, text=True, timeout=300
+        )
+        assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+        assert "C ABI smoke test PASSED" in r.stdout
