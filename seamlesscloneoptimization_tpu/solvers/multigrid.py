@@ -125,6 +125,25 @@ def vcycle(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest:
     return _sweeps(u, g, nu2)
 
 
+def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 31) -> jnp.ndarray:
+    """Full multigrid: coarse-to-fine cascade giving a near-converged start.
+
+    Restrict the RHS down the hierarchy (same 4x scaling as the residual
+    equation), solve the coarsest level exactly, then prolong the solution up
+    one level at a time, polishing each with one V-cycle. One FMG pass lands
+    within ~discretization accuracy, so the main solve needs only a cycle or
+    two of polish — the standard O(N) Poisson recipe, and ~3x fewer fine-grid
+    sweeps than V-cycling from a zero guess.
+    """
+    _, h, w = g.shape
+    if min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1:
+        return solve_dst_gemm(g)
+    gc = 4.0 * restrict_fw(g)
+    uc = fmg(gc, nu1, nu2, coarsest)
+    u = prolong_bilinear(uc, h, w)
+    return vcycle(u, g, nu1, nu2, coarsest)
+
+
 @partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2"))
 def solve_multigrid(
     g: jnp.ndarray,
@@ -134,8 +153,8 @@ def solve_multigrid(
     nu1: int = 2,
     nu2: int = 2,
 ) -> jnp.ndarray:
-    """V-cycle until ||r||_inf <= tol * ||g||_inf (or max_cycles)."""
-    u = jnp.zeros_like(g) if u0 is None else u0
+    """FMG start, then V-cycle until ||r||_inf <= tol * ||g||_inf."""
+    u = fmg(g, nu1, nu2) if u0 is None else u0
     gnorm = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
 
     def cond(state):
