@@ -74,9 +74,23 @@ def seamless_clone_batch(
     return out
 
 
+def seamless_clone_batch_fused(dst, srcs, masks, centers, flags: int = NORMAL_CLONE):
+    """Fused batch: N jobs bucketed to one shape, solved as ONE batched program.
+
+    The "64 masks into one 4K destination" configuration — see
+    parallel/batch.py:seamless_clone_batch_fused for semantics.
+    """
+    from seamlesscloneoptimization_tpu.parallel.batch import (
+        seamless_clone_batch_fused as _fused,
+    )
+
+    return _fused(dst, srcs, masks, centers, flags)
+
+
 __all__ = [
     "seamless_clone",
     "seamless_clone_batch",
+    "seamless_clone_batch_fused",
     "NORMAL_CLONE",
     "MIXED_CLONE",
     "MONOCHROME_TRANSFER",

@@ -100,11 +100,15 @@ class SeamlessClone:
     # -- public API -----------------------------------------------------------
 
     def run(self, src, dst, mask, center, flags: int | None = None):
-        """Dispatch one clone. Returns the device array (async)."""
+        """Dispatch one clone. Returns the device array (async).
+
+        ``src``/``dst`` may be host numpy OR device arrays — device inputs
+        are used in place (no host round-trip), so chaining the returned
+        array as the next call's ``dst`` streams entirely on-device (the
+        serve pattern of the reference Python binding).
+        """
         t0 = time.perf_counter()
         flags = self.config.flags if flags is None else flags
-        src = np.asarray(src)
-        dst = np.asarray(dst)
         if mask is None:
             mask = np.full(src.shape[:2], 255, np.uint8)
         prep = self._prepare(mask, src.shape, dst.shape, center)
@@ -112,10 +116,14 @@ class SeamlessClone:
             self._last_out = jax.device_put(dst, self.device)
             return self._last_out
         m, (x0, y0), (left, top), (bh, bw) = prep
-        fn = self._compiled(src.shape, dst.shape, (bh, bw), flags)
+        fn = self._compiled(tuple(src.shape), tuple(dst.shape), (bh, bw), flags)
+
+        def put(x):
+            return x if isinstance(x, jax.Array) else jax.device_put(x, self.device)
+
         out = fn(
-            jax.device_put(src, self.device),
-            jax.device_put(dst, self.device),
+            put(src),
+            put(dst),
             jax.device_put(m, self.device),
             np.array([x0, y0], np.int32),
             np.array([left, top], np.int32),
