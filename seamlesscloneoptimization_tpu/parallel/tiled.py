@@ -6,10 +6,15 @@ interior grid is partitioned into a (ty, tx) tile grid over a device mesh.
 Two complementary paths:
 
 1. ``solve_redblack_tiled`` — explicit ``shard_map`` red-black relaxation
-   where each half-sweep exchanges 1-px halos with the 4 mesh neighbors via
-   ``lax.ppermute`` (the ring primitive; boundary tiles receive zeros =
-   the Dirichlet frame for free) and convergence is voted with ``lax.pmax``.
-   This is the hand-scheduled ICI path.
+   with COMMUNICATION-AVOIDING halo exchange: k-pixel halos are exchanged
+   with the 4 mesh neighbors via ``lax.ppermute`` (the ring primitive;
+   boundary tiles receive zeros = the Dirichlet frame for free), then k/2
+   full sweeps run locally with the staleness wavefront contained in the
+   ghost band (ghost cells are recomputed redundantly, owned cells stay
+   exact). k=2 reproduces classic 1-sweep-per-exchange; larger k trades a
+   little redundant VPU work for k/2x fewer ICI messages — the
+   communication-avoiding smoothing the 80% weak-scaling target needs.
+   Convergence is voted with ``lax.pmax`` over the mesh.
 
 2. ``solve_multigrid_sharded`` — the single-chip multigrid V-cycle jitted
    with ``NamedSharding`` constraints; XLA's SPMD partitioner inserts the
@@ -43,22 +48,20 @@ def _perm_bwd(n):
     return [(i + 1, i) for i in range(n - 1)]
 
 
-def halo_exchange(u: jnp.ndarray, ty: int, tx: int) -> jnp.ndarray:
-    """Pad a local (C, h, w) shard with 1-px halos from mesh neighbors.
+def halo_exchange(u: jnp.ndarray, ty: int, tx: int, k: int = 1) -> jnp.ndarray:
+    """Pad a local (C, h, w) shard with k-px halos from mesh neighbors.
 
     Boundary tiles get zeros (ppermute leaves uncovered destinations zero),
-    which is exactly the global Dirichlet-0 frame. Corners are zero — the
-    5-point stencil never reads them. Must run inside shard_map over
-    ('ty', 'tx').
+    which is exactly the global Dirichlet-0 frame. Corner blocks ride along
+    with the second (column) exchange, carrying the row-neighbor's halo —
+    correct for any stencil contained in the (2k+1)^2 window. Must run
+    inside shard_map over ('ty', 'tx').
     """
-    # rows: my top halo is the bottom row of the tile above (ty index - 1)
-    top = jax.lax.ppermute(u[:, -1:, :], "ty", _perm_fwd(ty))
-    bottom = jax.lax.ppermute(u[:, :1, :], "ty", _perm_bwd(ty))
+    top = jax.lax.ppermute(u[:, -k:, :], "ty", _perm_fwd(ty))
+    bottom = jax.lax.ppermute(u[:, :k, :], "ty", _perm_bwd(ty))
     u = jnp.concatenate([top, u, bottom], axis=1)
-    left = jax.lax.ppermute(u[:, :, -1:], "tx", _perm_fwd(tx))
-    right = jax.lax.ppermute(u[:, :, :1], "tx", _perm_bwd(tx))
-    # left/right halos were exchanged after row-concat, so corners ride along
-    # (they carry the neighbor's stale corner value; harmless for 5-point).
+    left = jax.lax.ppermute(u[:, :, -k:], "tx", _perm_fwd(tx))
+    right = jax.lax.ppermute(u[:, :, :k], "tx", _perm_bwd(tx))
     return jnp.concatenate([left, u, right], axis=2)
 
 
@@ -66,7 +69,7 @@ def _neighbor_sum_padded(up: jnp.ndarray) -> jnp.ndarray:
     return up[:, :-2, 1:-1] + up[:, 2:, 1:-1] + up[:, 1:-1, :-2] + up[:, 1:-1, 2:]
 
 
-@partial(jax.jit, static_argnames=("mesh", "true_hw", "max_iters", "check_every"))
+@partial(jax.jit, static_argnames=("mesh", "true_hw", "max_iters", "check_every", "halo"))
 def solve_redblack_tiled(
     g: jnp.ndarray,
     mesh: Mesh,
@@ -74,18 +77,30 @@ def solve_redblack_tiled(
     tol: float = 1e-4,
     max_iters: int = 20000,
     check_every: int = 50,
+    halo: int = 4,
 ) -> jnp.ndarray:
     """Distributed red-black solve of A u = g on a (ty, tx) tile mesh.
 
     g: (C, H, W) with H % ty == 0 and W % tx == 0 (pad with zeros to fit;
     pass the unpadded size as true_hw — padded cells are pinned to zero,
     preserving the exact interior solution).
+
+    halo: ghost-band width in pixels (even, >= 2). One exchange feeds
+    halo//2 full red-black sweeps; owned cells are exact because the
+    staleness wavefront advances one layer per half-sweep and never crosses
+    the ghost band.
     """
+    if halo < 2 or halo % 2:
+        raise ValueError("halo must be an even integer >= 2")
     ty, tx = mesh.shape["ty"], mesh.shape["tx"]
     _, H, W = g.shape
     if H % ty or W % tx:
         raise ValueError(f"grid {H}x{W} not divisible by mesh {ty}x{tx}; pad first")
     th, tw = H // ty, W // tx
+    k = min(halo, th, tw)  # halo cannot exceed the tile itself
+    k -= k % 2
+    k = max(k, 2)
+    s = k // 2  # full sweeps per exchange
     Ht, Wt = true_hw if true_hw is not None else (H, W)
 
     def local(g_loc):
@@ -93,32 +108,41 @@ def solve_redblack_tiled(
         ix = jax.lax.axis_index("tx")
         r0 = iy * th
         c0 = ix * tw
-        rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
-        cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
-        in_dom = ((rows < Ht) & (cols < Wt)).astype(g_loc.dtype)[None]
+
+        # masks over the PADDED (th+2k, tw+2k) tile, in global coordinates
+        rows = (r0 - k) + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * k, tw + 2 * k), 0)
+        cols = (c0 - k) + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * k, tw + 2 * k), 1)
+        in_dom = ((rows >= 0) & (rows < Ht) & (cols >= 0) & (cols < Wt)).astype(g_loc.dtype)[None]
         red = (((rows + cols) % 2 == 0).astype(g_loc.dtype))[None] * in_dom
         black = (((rows + cols) % 2 == 1).astype(g_loc.dtype))[None] * in_dom
 
-        g_loc = g_loc * in_dom
+        # RHS: mask the owned tile, then exchange its halo ONCE (g is static)
+        own = in_dom[:, k : k + th, k : k + tw]
+        g_loc = g_loc * own
+        gp = halo_exchange(g_loc, ty, tx, k)
         gnorm = jnp.max(jnp.abs(g_loc))
         gnorm = jax.lax.pmax(jax.lax.pmax(gnorm, "ty"), "tx")
         gnorm = jnp.maximum(gnorm, 1e-30)
 
-        def half_sweep(u, color):
-            up = halo_exchange(u, ty, tx)
-            upd = (_neighbor_sum_padded(up) - g_loc) * 0.25
-            return u + color * (upd - u)
+        def half_sweep(up, color):
+            upd = (_neighbor_sum_padded(jnp.pad(up, ((0, 0), (1, 1), (1, 1)))) - gp) * 0.25
+            return up + color * (upd - up)
 
-        def sweep(u, _=None):
-            u = half_sweep(u, red)
-            u = half_sweep(u, black)
-            return u
+        def ca_round(u):
+            """One exchange + s full sweeps on the ghosted tile."""
+            up = halo_exchange(u, ty, tx, k)
+            for _ in range(s):
+                up = half_sweep(up, red)
+                up = half_sweep(up, black)
+            return up[:, k : k + th, k : k + tw]
 
         def res_norm(u):
-            up = halo_exchange(u, ty, tx)
-            r = (g_loc - (_neighbor_sum_padded(up) - 4.0 * u)) * in_dom
+            up = halo_exchange(u, ty, tx, 1)
+            r = (g_loc - (_neighbor_sum_padded(up) - 4.0 * u)) * own
             m = jnp.max(jnp.abs(r))
             return jax.lax.pmax(jax.lax.pmax(m, "ty"), "tx")
+
+        rounds_per_check = max(check_every // s, 1)
 
         def cond(state):
             u, it = state
@@ -126,8 +150,8 @@ def solve_redblack_tiled(
 
         def body(state):
             u, it = state
-            u = jax.lax.fori_loop(0, check_every, lambda _, x: sweep(x), u)
-            return u, it + check_every
+            u = jax.lax.fori_loop(0, rounds_per_check, lambda _, x: ca_round(x), u)
+            return u, it + rounds_per_check * s
 
         u0 = jnp.zeros_like(g_loc)
         u, _ = jax.lax.while_loop(cond, body, (u0, jnp.int32(0)))

@@ -80,6 +80,15 @@ class TestTiledSolvers:
         rel = float(jnp.abs(u - exact).max() / jnp.abs(exact).max())
         assert rel < 1e-2, rel
 
+    @pytest.mark.parametrize("halo", [2, 6, 8])
+    def test_communication_avoiding_halo_widths_agree(self, mesh24, halo):
+        """k-px ghost bands: owned cells stay exact for any even k."""
+        g = _rand_g(32, 64, seed=5)
+        u = solve_redblack_tiled(g, mesh24, tol=1e-5, max_iters=40000, halo=halo)
+        exact = solve_dst_gemm(g)
+        rel = float(jnp.abs(u - exact).max() / jnp.abs(exact).max())
+        assert rel < 1e-2, f"halo={halo}: rel {rel}"
+
     def test_redblack_tiled_padded_domain(self, mesh24):
         # true domain 30x61 embedded in 32x64 tile-divisible grid
         g_true = _rand_g(30, 61, seed=3)
