@@ -1,0 +1,109 @@
+"""Weak-scaling benchmark: tiled red-black solve across an N-device mesh.
+
+Constant work PER DEVICE (one tile of TILE x TILE interior each), growing
+the global problem with the mesh — the BASELINE weak-scaling protocol for
+the 8K-panorama configuration. Efficiency = t(1 device) / t(N devices).
+
+Hardware note: this environment exposes ONE physical TPU chip; multi-device
+runs use the virtual CPU mesh (jax_num_cpu_devices — the standard JAX fake
+backend), which validates the sharding/halo program structure and measures
+its overhead, not real ICI bandwidth. On a real pod slice the same script
+runs unchanged with JAX_PLATFORMS=tpu.
+
+Usage:
+    python bench_scaling.py            # sweep 1,2,4,8 virtual CPU devices
+    python bench_scaling.py --devices 4 --tile 1024
+Prints one JSON line per mesh size plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def run_one(n_devices: int, tile: int, sweeps: int) -> dict:
+    """Child-process entry: time `sweeps` red-black sweeps on an n-device mesh."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n_devices)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seamlesscloneoptimization_tpu.parallel import make_tile_mesh, solve_redblack_tiled
+    from seamlesscloneoptimization_tpu.parallel.mesh import tile_sharding
+
+    mesh = make_tile_mesh(jax.devices()[:n_devices])
+    ty, tx = mesh.shape["ty"], mesh.shape["tx"]
+    H, W = tile * ty, tile * tx
+    rng = np.random.default_rng(0)
+    g = jax.device_put(
+        jnp.asarray(rng.normal(size=(3, H, W)).astype(np.float32) * 50), tile_sharding(mesh)
+    )
+
+    # fixed work: exactly `sweeps` sweeps (tol=0 never converges early)
+    fn = lambda: solve_redblack_tiled(
+        g, mesh, tol=0.0, max_iters=sweeps, check_every=sweeps, halo=4
+    )
+    u = fn()
+    jax.block_until_ready(u)  # includes compile
+    t0 = time.perf_counter()
+    u = fn()
+    jax.block_until_ready(u)
+    dt = time.perf_counter() - t0
+    mp = H * W / 1e6
+    return {
+        "devices": n_devices,
+        "mesh": f"{ty}x{tx}",
+        "grid": f"{H}x{W}",
+        "megapixels": round(mp, 1),
+        "seconds": round(dt, 3),
+        "mp_sweeps_per_s": round(mp * sweeps / dt, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, default=None, help="run one size (child mode)")
+    p.add_argument("--tile", type=int, default=1024)
+    p.add_argument("--sweeps", type=int, default=100)
+    args = p.parse_args()
+
+    if args.devices is not None:
+        print(json.dumps(run_one(args.devices, args.tile, args.sweeps)))
+        return
+
+    results = []
+    for n in (1, 2, 4, 8):
+        r = subprocess.run(
+            [sys.executable, __file__, "--devices", str(n), "--tile", str(args.tile),
+             "--sweeps", str(args.sweeps)],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if not line:
+            print(f"devices={n} FAILED:\n{r.stderr[-2000:]}", file=sys.stderr)
+            continue
+        res = json.loads(line[-1])
+        results.append(res)
+        print(json.dumps(res))
+
+    if results and results[0]["devices"] == 1:
+        t1 = results[0]["seconds"]
+        for r in results[1:]:
+            r["weak_scaling_efficiency"] = round(t1 / r["seconds"], 3)
+        print(json.dumps({
+            "summary": "weak scaling (virtual CPU mesh; structure/overhead only)",
+            "efficiency": {r["devices"]: r.get("weak_scaling_efficiency") for r in results[1:]},
+        }))
+
+
+if __name__ == "__main__":
+    main()

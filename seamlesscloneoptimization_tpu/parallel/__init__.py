@@ -4,7 +4,11 @@ from seamlesscloneoptimization_tpu.parallel.tiled import (
     solve_redblack_tiled,
     solve_multigrid_sharded,
 )
-from seamlesscloneoptimization_tpu.parallel.batch import clone_roi_batch
+from seamlesscloneoptimization_tpu.parallel.batch import (
+    clone_roi_batch,
+    seamless_clone_batch_fused,
+)
+from seamlesscloneoptimization_tpu.parallel.clone_tiled import seamless_clone_tiled
 
 __all__ = [
     "make_tile_mesh",
@@ -12,4 +16,6 @@ __all__ = [
     "solve_redblack_tiled",
     "solve_multigrid_sharded",
     "clone_roi_batch",
+    "seamless_clone_batch_fused",
+    "seamless_clone_tiled",
 ]

@@ -1,0 +1,85 @@
+"""End-to-end tiled seamless clone for huge (8K+) destinations.
+
+BASELINE config[4]: the whole pipeline — layout, mask erode, guidance,
+RHS, multigrid Poisson solve, postprocess — jitted under GSPMD with the
+solve region sharded (C, 'ty', 'tx') over a device mesh. XLA's SPMD
+partitioner turns every stencil into tile-local compute plus ICI halo
+exchange; coarse multigrid levels reshard/gather automatically, replacing
+the reference's single-GPU-only design (SURVEY §2.18) with the
+domain-decomposition scaling story.
+
+On a single chip the mesh degenerates to 1x1 and this is the ordinary
+pipeline; the same code scales to a pod slice by passing a bigger mesh
+(jax.distributed.initialize + make_tile_mesh over all devices).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from seamlesscloneoptimization_tpu.models.pipeline import clone_pipeline
+from seamlesscloneoptimization_tpu.parallel.mesh import make_tile_mesh
+from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+_cache: dict = {}
+
+
+def seamless_clone_tiled(
+    src,
+    dst,
+    mask,
+    center,
+    mesh=None,
+    flags: int = 1,
+    tol: float = 1e-4,
+):
+    """Seamless clone with the Poisson solve sharded over a device mesh.
+
+    Same semantics as ``seamless_clone`` with solver='multigrid'; the
+    compute is partitioned (C, 'ty', 'tx') across ``mesh`` (default: all
+    visible devices, most-square factorization). Returns uint8 HWC numpy.
+    """
+    from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+
+    mesh = mesh if mesh is not None else make_tile_mesh()
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    if mask is None:
+        mask = np.full(src.shape[:2], 255, np.uint8)
+    prep = SeamlessClone._prepare(mask, src.shape, dst.shape, center)
+    if prep is None:
+        return dst.copy()
+    m, (x0, y0), (left, top), (bh, bw) = prep
+
+    tile = NamedSharding(mesh, P(None, "ty", "tx"))
+    img = NamedSharding(mesh, P("ty", "tx", None))
+    plane = NamedSharding(mesh, P("ty", "tx"))
+    repl = NamedSharding(mesh, P())
+
+    def sharded_solver(g):
+        g = jax.lax.with_sharding_constraint(g, tile)
+        u = solve_multigrid(g, tol=tol)
+        return jax.lax.with_sharding_constraint(u, tile)
+
+    key = (mesh, src.shape, dst.shape, (bh, bw), flags, tol)
+    fn = _cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            partial(clone_pipeline, bbox_hw=(bh, bw), flags=flags, solver=sharded_solver),
+            in_shardings=(img, img, plane, repl, repl),
+            out_shardings=img,
+        )
+        _cache[key] = fn
+    out = fn(
+        jax.device_put(src, img),
+        jax.device_put(dst, img),
+        jax.device_put(m, plane),
+        jax.device_put(np.array([x0, y0], np.int32), repl),
+        jax.device_put(np.array([left, top], np.int32), repl),
+    )
+    return np.asarray(out)

@@ -213,3 +213,26 @@ class TestFusedBatch64:
             mse = np.mean((a - b) ** 2)
             psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
             assert psnr > 30, f"pad-bucket PSNR {psnr:.1f} dB"
+
+
+class TestTiledClone:
+    def test_tiled_clone_end_to_end_vs_cv2(self, airplane, sky, full_mask):
+        """BASELINE config[4] structure: whole pipeline GSPMD-sharded over a
+        2x4 mesh with the multigrid solve tile-partitioned; bit-close output.
+        """
+        import cv2
+
+        from seamlesscloneoptimization_tpu.parallel import (
+            make_tile_mesh,
+            seamless_clone_tiled,
+        )
+
+        mesh = make_tile_mesh(jax.devices()[:8], (2, 4))
+        out = seamless_clone_tiled(
+            airplane, sky, full_mask.copy(), (800, 150), mesh=mesh, tol=1e-6
+        )
+        golden = cv2.seamlessClone(
+            airplane, sky, full_mask.copy(), (800, 150), cv2.NORMAL_CLONE
+        )
+        d = np.abs(out.astype(int) - golden.astype(int))
+        assert d.max() <= 1, f"diff max {d.max()}"
