@@ -49,14 +49,15 @@ def residual(u: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return g - (_neighbor_sum(u) - 4.0 * u)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "check_every"))
+@partial(jax.jit, static_argnames=("max_iters", "check_every", "return_info"))
 def solve_redblack(
     g: jnp.ndarray,
     u0: jnp.ndarray | None = None,
     tol: float = 1e-3,
     max_iters: int = 10000,
     check_every: int = 50,
-) -> jnp.ndarray:
+    return_info: bool = False,
+):
     """Iterate red-black sweeps until ||r||_inf <= tol * ||g||_inf.
 
     Residual checks batch ``check_every`` sweeps per convergence test so the
@@ -77,5 +78,7 @@ def solve_redblack(
         u = jax.lax.fori_loop(0, check_every, lambda _, x: redblack_sweep(x, g), u)
         return u, it + check_every
 
-    u, _ = jax.lax.while_loop(cond, body, (u, jnp.int32(0)))
+    u, it = jax.lax.while_loop(cond, body, (u, jnp.int32(0)))
+    if return_info:
+        return u, {"iterations": it, "residual": jnp.max(jnp.abs(residual(u, g)))}
     return u

@@ -7,13 +7,12 @@ device mesh with halo exchange (see parallel/tiled.py).
 
 Scheme (vertex-centered, unscaled operators):
 - smoother: red-black Gauss-Seidel (solvers/jacobi.py)
-- restriction: full-weighting 1/16 [1 2 1; 2 4 2; 1 2 1] at fine points
-  (2i+1, 2j+1); coarse size n//2, so coarse points sit at ALL odd fine
-  indices for either parity of n and every fine point is covered by the
-  bilinear prolongation (for odd n the last fine line interpolates from the
-  last coarse line and the zero boundary; for even n the last interior line
-  IS a coarse point). The coarse RHS is scaled by 4 (A_h ~ h^2 * Laplacian,
-  so the 2h-grid equation needs 4x the restricted residual).
+- restriction: separable full-weighting (1/4, 1/2, 1/4 per axis) at fine
+  points (2i+1, 2j+1); coarse size (n-1)//2. For even n the last two fine
+  lines get dedicated (2/3, 1/3) linear-to-boundary weights in both
+  transfers so every fine line receives coarse correction. The coarse RHS
+  is scaled by 4 (A_h ~ h^2 * Laplacian, so the 2h-grid equation needs 4x
+  the restricted residual).
 - prolongation: bilinear, separable, zero outside the coarse grid
   (the exact transpose of restriction up to the factor 4).
 - coarsest level (min dim <= coarsest): EXACT direct solve in the DST
@@ -144,7 +143,7 @@ def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 31) -> jnp.n
     return vcycle(u, g, nu1, nu2, coarsest)
 
 
-@partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2"))
+@partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2", "return_info"))
 def solve_multigrid(
     g: jnp.ndarray,
     u0: jnp.ndarray | None = None,
@@ -152,7 +151,8 @@ def solve_multigrid(
     max_cycles: int = 60,
     nu1: int = 2,
     nu2: int = 2,
-) -> jnp.ndarray:
+    return_info: bool = False,
+):
     """FMG start, then V-cycle until ||r||_inf <= tol * ||g||_inf."""
     u = fmg(g, nu1, nu2) if u0 is None else u0
     gnorm = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
@@ -165,5 +165,7 @@ def solve_multigrid(
         u, it = state
         return vcycle(u, g, nu1, nu2), it + 1
 
-    u, _ = jax.lax.while_loop(cond, body, (u, jnp.int32(0)))
+    u, it = jax.lax.while_loop(cond, body, (u, jnp.int32(0)))
+    if return_info:
+        return u, {"cycles": it, "residual": jnp.max(jnp.abs(residual(u, g)))}
     return u

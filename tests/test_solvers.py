@@ -100,3 +100,35 @@ class TestIterativeSolvers:
         rc = restrict_fw(r)
         assert rc.shape == (1, 31, 49)
         assert prolong_bilinear(rc, 64, 100).shape == (1, 64, 100)
+
+
+class TestConvergenceComparison:
+    def test_multigrid_vs_jacobi_iterations_and_psnr(self):
+        """BASELINE config[1]: convergence-iterations and PSNR vs Jacobi.
+
+        Multigrid must reach the tolerance in FAR fewer fine-grid-equivalent
+        sweeps than red-black Jacobi, and both must match the exact DST
+        solution at high PSNR.
+        """
+        g = _rand_g(190, 296, seed=9)
+        exact = solve_dst_gemm(g)
+
+        u_j, info_j = solve_redblack(g, tol=1e-4, max_iters=60000,
+                                     check_every=200, return_info=True)
+        u_m, info_m = solve_multigrid(g, tol=1e-4, return_info=True)
+
+        def psnr(u):
+            mse = float(jnp.mean((u - exact) ** 2))
+            peak = float(jnp.abs(exact).max())
+            return 10 * np.log10(peak**2 / mse)
+
+        sweeps_j = int(info_j["iterations"])
+        cycles_m = int(info_m["cycles"])
+        # one V(2,2) cycle costs ~6 fine-sweep-equivalents (4 smoothing + ~2
+        # for transfers/coarse); FMG adds a few more. Count generously.
+        sweeps_m_equiv = (cycles_m + 3) * 8
+        assert sweeps_j > 10 * sweeps_m_equiv, (
+            f"jacobi {sweeps_j} sweeps vs multigrid ~{sweeps_m_equiv} equiv"
+        )
+        assert psnr(u_j) > 40, f"jacobi PSNR {psnr(u_j):.1f}"
+        assert psnr(u_m) > 40, f"multigrid PSNR {psnr(u_m):.1f}"
