@@ -72,7 +72,7 @@ def main():
     mask = np.full(src.shape[:2], 255, np.uint8)
     center = (dst.shape[1] // 2, dst.shape[0] // 2)
 
-    eng = SeamlessClone(CloneConfig(solver=solver, tol=2e-4, donate_dst=True))
+    eng = SeamlessClone(CloneConfig(solver=solver, tol=2e-4, donate_dst=True, precision="high"))
     _, serve_ms = eng.timed_serve(src, dst, mask, center, loops=loops)
 
     # one per-call e2e sample including host->device uploads (reference
@@ -95,6 +95,7 @@ def main():
                 "vs_baseline": round(mps / BASELINE_MPS_V100_2400, 3),
                 "extras": {
                     "solver": solver,
+                    "precision": "high",
                     "serve_ms_per_frame_2400x1552": round(serve_ms, 3),
                     "e2e_ms_with_h2d_2400x1552": round(e2e_ms, 3),
                     "sync_overhead_ms": round(eng.metrics.get("sync_overhead_ms", 0.0), 2),

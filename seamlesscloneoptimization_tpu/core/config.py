@@ -20,6 +20,7 @@ class CloneConfig:
     """Configuration for a SeamlessClone engine instance."""
 
     solver: str = "dst_gemm"  # dst_gemm | dst_fft | jacobi | multigrid
+    precision: str = "highest"  # dst_gemm MXU passes: highest (f32) | high (bf16_3x)
     flags: int = NORMAL_CLONE
     tol: float = 1e-4  # relative residual tolerance (iterative solvers)
     max_iters: int = 10000  # jacobi sweep cap
@@ -33,7 +34,9 @@ class CloneConfig:
             return {"tol": self.tol, "max_iters": self.max_iters}
         if self.solver == "multigrid":
             return {"tol": self.tol, "max_cycles": self.max_cycles}
+        if self.solver == "dst_gemm":
+            return {"precision": self.precision}
         return {}
 
     def cache_key_extras(self) -> tuple:
-        return (self.solver, self.flags, self.tol, self.max_iters, self.max_cycles)
+        return (self.solver, self.precision, self.flags, self.tol, self.max_iters, self.max_cycles)

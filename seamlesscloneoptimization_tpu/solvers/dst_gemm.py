@@ -34,23 +34,41 @@ def dst_eigenvalues(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return (2.0 * (jnp.cos(k * (jnp.pi / (n + 1))) - 1.0)).astype(dtype)
 
 
-def _mm(a, b):
-    return jnp.einsum("...ij,jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST)
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,  # f32 accumulation (bf16_6x on MXU)
+    "high": jax.lax.Precision.HIGH,  # bf16_3x: ~2.2x faster on v5e
+    "default": jax.lax.Precision.DEFAULT,  # single-pass bf16 (too lossy here)
+}
 
 
-def _mm_left(m, a):
-    return jnp.einsum("ij,...jk->...ik", m, a, precision=jax.lax.Precision.HIGHEST)
+def _mm(a, b, prec):
+    return jnp.einsum("...ij,jk->...ik", a, b, precision=prec)
 
 
-@partial(jax.jit, static_argnames=("transform_only",))
-def solve_dst_gemm(g: jnp.ndarray, transform_only: bool = False) -> jnp.ndarray:
-    """Solve A u = g for g: (C, H, W) f32 via 4 batched GEMMs."""
+def _mm_left(m, a, prec):
+    return jnp.einsum("ij,...jk->...ik", m, a, precision=prec)
+
+
+@partial(jax.jit, static_argnames=("transform_only", "precision"))
+def solve_dst_gemm(
+    g: jnp.ndarray, transform_only: bool = False, precision: str = "highest"
+) -> jnp.ndarray:
+    """Solve A u = g for g: (C, H, W) f32 via 4 batched GEMMs.
+
+    precision: "highest" (f32 accumulation, bit-matches the NumPy oracle) |
+    "high" (bf16_3x MXU passes, ~2.2x faster on v5e). Measured end-to-end
+    vs cv2 both give diff_max 1 at 300x194 and identical 0.397 mean abs
+    diff at 2400x1552 (the large-size diff is direct-vs-FFT-solver
+    conditioning shared with the reference's own cuBLAS path, PDF §1.1:
+    its diff-sum 13.7M / max 6 at that size). CPU backends ignore this.
+    """
+    prec = _PRECISIONS[precision]
     _, h, w = g.shape
     vh = dst_matrix(h)
     vw = dst_matrix(w)
     lam = dst_eigenvalues(h)[:, None] + dst_eigenvalues(w)[None, :]
-    ghat = _mm(_mm_left(vh, g), vw)
+    ghat = _mm(_mm_left(vh, g, prec), vw, prec)
     if transform_only:
         return ghat
     uhat = ghat / lam[None, :, :]
-    return _mm(_mm_left(vh, uhat), vw)
+    return _mm(_mm_left(vh, uhat, prec), vw, prec)
