@@ -25,18 +25,22 @@ class CloneConfig:
     tol: float = 1e-4  # relative residual tolerance (iterative solvers)
     max_iters: int = 10000  # jacobi sweep cap
     max_cycles: int = 60  # multigrid V-cycle cap
+    use_pallas_smoother: bool = False  # fused k-sweep Pallas smoother (TPU only)
     debug_dump: bool = False  # save per-stage arrays (ref: SCDEBUG dumps)
     debug_dir: str = "/tmp/scl_debug"
     donate_dst: bool = False  # buffer-donate dst for in-place update
 
     def solver_kwargs(self) -> dict:
         if self.solver == "jacobi":
-            return {"tol": self.tol, "max_iters": self.max_iters}
+            return {"tol": self.tol, "max_iters": self.max_iters,
+                    "use_pallas": self.use_pallas_smoother}
         if self.solver == "multigrid":
-            return {"tol": self.tol, "max_cycles": self.max_cycles}
+            return {"tol": self.tol, "max_cycles": self.max_cycles,
+                    "use_pallas": self.use_pallas_smoother}
         if self.solver == "dst_gemm":
             return {"precision": self.precision}
         return {}
 
     def cache_key_extras(self) -> tuple:
-        return (self.solver, self.precision, self.flags, self.tol, self.max_iters, self.max_cycles)
+        return (self.solver, self.precision, self.flags, self.tol,
+                self.max_iters, self.max_cycles, self.use_pallas_smoother)

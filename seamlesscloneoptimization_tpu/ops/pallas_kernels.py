@@ -1,22 +1,32 @@
-"""Pallas TPU kernels for the hot ops.
+"""Pallas TPU kernels for the hot ops — strip-tiled, VMEM-resident.
 
-Two kernels carry the compute cost of the iterative path:
+Two kernels carry the compute cost of the stencil path. Both use the same
+structure: the plane is cut into full-width row STRIPS (the lane dimension
+stays whole, so fetches are contiguous and lane-aligned); each program reads
+its strip PLUS an 8-row ghost band through an overlapping element-indexed
+window (``pl.Element`` block specs — Pallas pipelines these with
+double-buffered DMA automatically), computes the whole fused chain on-chip
+recomputing the ghost rows redundantly (the on-chip version of the
+communication-avoiding halo scheme in parallel/tiled.py), and writes only
+the owned strip. One HBM round-trip per launch no matter how much
+arithmetic is fused on top.
 
-1. ``rb_sweeps_pallas`` — k red-black Gauss-Seidel sweeps in ONE kernel with
-   ONE HBM round-trip. The XLA version reads+writes u from HBM twice per
-   sweep (once per color); for the smoother, which is pure HBM-bandwidth,
-   fusing k sweeps in VMEM is a ~2k reduction in traffic. This is the
-   TPU equivalent of the reference's kernel-merging campaign
+1. ``rb_sweeps_pallas`` — up to 4 red-black Gauss-Seidel sweeps per launch
+   inside the 8-row ghost band (the staleness wavefront advances one layer
+   per half-sweep and never reaches the owned strip). The XLA sweep costs
+   ~3 HBM passes each; fusing k sweeps into one round-trip beats that roof.
+   The TPU analogue of the reference's kernel-merging campaign
    (PDF §2.1.8-§2.1.11: 22 launches -> 8).
 
-2. ``preprocess_pallas`` — fused erode(x3) + guidance blend + divergence +
-   Dirichlet RHS (the reference's pre_process_* pair, seamlessClone_imp.cpp:
-   1920-2018, plus myErode x3 at :1060) in one pass over the ROI.
+2. ``preprocess_rhs_pallas`` — erode(x3) + guidance blend + divergence in
+   one pass (the reference's fused pre-processing, ``pre_process_kernel_*``
+   seamlessClone-CUDA/seamlessClone_imp.cpp:1920-2018 plus ``myErode`` x3 at
+   :1060-1062); the 8-row band covers the 5-px dependency radius
+   (3 erode + 1 forward gradient + 1 backward divergence).
 
-Both keep the whole ROI resident in VMEM (fine for ROIs up to ~1M pixels,
-i.e. beyond the reference's 592x592 target spec); larger problems fall back
-to the XLA path or the tiled distributed path. Grid iterates over channels
-so each program's working set is a single (H, W) plane.
+Works on arbitrary shapes (host-side zero-pad to strip/lane multiples; the
+zero pad IS the Dirichlet frame, enforced in-kernel by global-coordinate
+masks). ``interpret=True`` runs the same code on CPU for tests.
 """
 
 from __future__ import annotations
@@ -26,132 +36,164 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (memory spaces)
+
+_M = 8  # ghost rows: sublane-aligned; covers 4 rb sweeps or the 5-px preprocess radius
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-# ---------------------------------------------------------------------------
-# Red-black sweeps
-# ---------------------------------------------------------------------------
+def _strip_height(wp: int, n_windows: int, budget_bytes: int = 6 << 20) -> int:
+    """Largest multiple-of-8 strip height whose pipelined windows fit VMEM.
 
-
-def _rb_kernel(u_ref, g_ref, hw_ref, out_ref, n_sweeps: int):
-    """k RB sweeps on one (1, Hp, Wp) padded plane held in VMEM.
-
-    hw_ref: SMEM (2,) true (H, W); cells outside are pinned to zero
-    (the padded embedding preserves the Dirichlet interior solution).
+    n_windows counts input windows; x2 for double buffering plus the same
+    again as headroom for the kernel's arithmetic temporaries.
     """
-    hp, wp = u_ref.shape[1], u_ref.shape[2]
-    h = hw_ref[0]
-    w = hw_ref[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-    in_dom = ((rows < h) & (cols < w)).astype(jnp.float32)
+    th = (budget_bytes // (4 * n_windows * 4 * wp)) - 2 * _M
+    th = max(8, (th // 8) * 8)
+    return min(th, 512)
+
+
+def _halo_spec(th: int, wp: int):
+    """Overlapping (1, th+2M, wp) window starting M rows above the strip."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(th + 2 * _M), pl.Element(wp)),
+        lambda c, i: (c, pl.multiple_of(i * th, 8), 0),
+    )
+
+
+def _halo_spec_2d(th: int, wp: int):
+    return pl.BlockSpec(
+        (pl.Element(th + 2 * _M), pl.Element(wp)),
+        lambda c, i: (pl.multiple_of(i * th, 8), 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strip-tiled communication-avoiding red-black sweeps
+# ---------------------------------------------------------------------------
+
+
+def _rb_strip_kernel(u_ref, g_ref, out_ref, *, n_sweeps, th, h, w, wp):
+    """One (TH, Wp) strip: k sweeps inside the ghosted window, write center."""
+    i = pl.program_id(1)
+    m = _M
+    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
+    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
     red = jnp.where((rows + cols) % 2 == 0, in_dom, 0.0)
     black = in_dom - red
 
     g = g_ref[0] * in_dom
-
-    def nsum(u):
-        up = jnp.pad(u, ((1, 1), (1, 1)))
-        return up[:-2, 1:-1] + up[2:, 1:-1] + up[1:-1, :-2] + up[1:-1, 2:]
-
-    def body(_, u):
-        upd = (nsum(u) - g) * 0.25
-        u = u + red * (upd - u)
-        upd = (nsum(u) - g) * 0.25
-        u = u + black * (upd - u)
-        return u
-
     u = u_ref[0] * in_dom
-    out_ref[0] = jax.lax.fori_loop(0, n_sweeps, body, u)
+
+    def nsum(x):
+        xp = jnp.pad(x, ((1, 1), (1, 1)))
+        return xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:]
+
+    def body(_, x):
+        x = x + red * ((nsum(x) - g) * 0.25 - x)
+        x = x + black * ((nsum(x) - g) * 0.25 - x)
+        return x
+
+    u = jax.lax.fori_loop(0, n_sweeps, body, u)
+    out_ref[0] = u[m : m + th, :]
+
+
+def _rb_launch(up, gp, n_sweeps, th, h, w, wp, hp, c, interpret):
+    """One kernel launch on pre-padded (C, hp+2M, wp) buffers -> (C, hp, wp)."""
+    return pl.pallas_call(
+        partial(_rb_strip_kernel, n_sweeps=n_sweeps, th=th, h=h, w=w, wp=wp),
+        grid=(c, hp // th),
+        in_specs=[_halo_spec(th, wp), _halo_spec(th, wp)],
+        out_specs=pl.BlockSpec((1, th, wp), lambda c, i: (c, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(up, gp)
 
 
 @partial(jax.jit, static_argnames=("n_sweeps", "interpret"))
-def rb_sweeps_pallas(u: jnp.ndarray, g: jnp.ndarray, n_sweeps: int, interpret: bool = False):
-    """k red-black sweeps over (C, H, W) f32, one HBM round-trip.
+def rb_sweeps_pallas(
+    u: jnp.ndarray,
+    g: jnp.ndarray,
+    n_sweeps: int,
+    interpret: bool = False,
+):
+    """k red-black sweeps over (C, H, W) f32, one HBM round-trip per <=4.
 
-    Pads to (8, 128) VPU tiles internally; returns the unpadded result.
+    Pads once, launches ceil(k/4) strip-tiled kernels, crops once;
+    bitwise-equivalent to k XLA ``redblack_sweep``s.
     """
     c, h, w = u.shape
-    hp, wp = _round_up(h, 8), _round_up(w, 128)
-    up = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)))
-    gp = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - w)))
-    hw = jnp.array([h, w], jnp.int32)
+    wp = _round_up(w, 128)
+    th = _strip_height(wp, n_windows=2)
+    hp = _round_up(h, th)
+    pad = ((0, 0), (_M, hp - h + _M), (0, wp - w))
+    up = jnp.pad(u, pad)
+    gp = jnp.pad(g, pad)
 
-    out = pl.pallas_call(
-        partial(_rb_kernel, n_sweeps=n_sweeps),
-        grid=(c,),
-        in_specs=[
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
-        interpret=interpret,
-    )(up, gp, hw)
+    done = 0
+    while done < n_sweeps:
+        step = min(4, n_sweeps - done)
+        out = _rb_launch(up, gp, step, th, h, w, wp, hp, c, interpret)
+        done += step
+        if done < n_sweeps:
+            up = jnp.pad(out, ((0, 0), (_M, _M), (0, 0)))
     return out[:, :h, :w]
 
 
 # ---------------------------------------------------------------------------
-# Fused pre-processing: erode x3 + guidance + divergence + Dirichlet RHS
+# Strip-tiled fused pre-processing: erode x3 + guidance + divergence
 # ---------------------------------------------------------------------------
 
 
-def _preprocess_kernel(dest_ref, patch_ref, mask_ref, out_ref, flags: int):
-    """One channel plane: compute the interior RHS in a single VMEM pass.
+def _pre_strip_kernel(dest_ref, patch_ref, mask_ref, out_ref, *, flags, th, h, w, wp):
+    m = _M
+    i = pl.program_id(1)
+    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
+    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
 
-    dest_ref/patch_ref: (1, Hp, Wp) f32 (padded); mask_ref: (Hp, Wp) f32 in
-    {0,1} (pre-binarized, border-zeroed, NOT eroded — erosion happens here).
-    out_ref: (1, Hp, Wp) f32; rows/cols >= (H-2, W-2) are zero.
-    """
     d = dest_ref[0]
     p = patch_ref[0]
-    m = mask_ref[:]
+    msk = mask_ref[:] * in_dom  # {0,1}; zero outside the ROI = erosion border
 
-    # 3x binary erosion with zero border (min over 3x3 window)
+    # 3x binary erosion (min over 3x3), zero border via the zero pad/mask
     def erode(x):
         xp = jnp.pad(x, ((1, 1), (1, 1)))
         out = x
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                out = jnp.minimum(out, jax.lax.dynamic_slice(xp, (1 + dy, 1 + dx), x.shape))
+                out = jnp.minimum(out, xp[1 + dy : 1 + dy + x.shape[0], 1 + dx : 1 + dx + x.shape[1]])
         return out
 
-    me = erode(erode(erode(m)))
+    me = erode(erode(erode(msk)))
 
+    # forward-difference gradients, zero at the ROI's last column/row
     def gradx(img):
         s = jnp.pad(img[:, 1:], ((0, 0), (0, 1)))
-        return jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, img.shape, 1) < img.shape[1] - 1,
-            s - img,
-            0.0,
-        )
+        return jnp.where(cols < w - 1, s - img, 0.0) * in_dom
 
     def grady(img):
         s = jnp.pad(img[1:, :], ((0, 1), (0, 0)))
-        return jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, img.shape, 0) < img.shape[0] - 1,
-            s - img,
-            0.0,
-        )
+        return jnp.where(rows < h - 1, s - img, 0.0) * in_dom
 
     gx_d, gy_d = gradx(d), grady(d)
     gx_p, gy_p = gradx(p), grady(p)
-    if flags == 2:  # MIXED_CLONE
+    if flags == 2:  # MIXED_CLONE: keep the stronger gradient vector
         take_d = (gx_p * gx_p + gy_p * gy_p) < (gx_d * gx_d + gy_d * gy_d)
         gx_p = jnp.where(take_d, gx_d, gx_p)
         gy_p = jnp.where(take_d, gy_d, gy_p)
     gx = (1.0 - me) * gx_d + me * gx_p
     gy = (1.0 - me) * gy_d + me * gy_p
 
-    # backward divergence at (i, j), evaluated at interior offset (+1, +1)
-    lap = (gx - jnp.pad(gx[:, :-1], ((0, 0), (1, 0)))) + (gy - jnp.pad(gy[:-1, :], ((1, 0), (0, 0))))
-    out_ref[0] = lap  # shifted/Dirichlet-adjusted by the caller (cheap edge ops)
+    # backward divergence: lap[y, x] = gx[y,x]-gx[y,x-1] + gy[y,x]-gy[y-1,x]
+    lap = (gx - jnp.pad(gx[:, :-1], ((0, 0), (1, 0)))) + (
+        gy - jnp.pad(gy[:-1, :], ((1, 0), (0, 0)))
+    )
+    out_ref[0] = lap[m : m + th, :]
 
 
 def preprocess_rhs_pallas(
@@ -163,24 +205,30 @@ def preprocess_rhs_pallas(
 ):
     """Fused RHS: (C,H,W) f32 dest/patch + (H,W) u8 mask -> (C,H-2,W-2) f32.
 
+    One strip-tiled pass computes erode(x3) + guidance + divergence; the
+    Dirichlet boundary subtraction (4 edge vectors) is folded on top in XLA.
     MONOCHROME_TRANSFER pre-grays the patch on the caller side; this kernel
     handles NORMAL (flags=1) and MIXED (flags=2) blending.
     """
     c, h, w = dest_roi.shape
-    hp, wp = _round_up(h, 8), _round_up(w, 128)
-    dp = jnp.pad(dest_roi, ((0, 0), (0, hp - h), (0, wp - w)))
-    pp = jnp.pad(patch, ((0, 0), (0, hp - h), (0, wp - w)))
-    mp = jnp.pad((mask_roi != 0).astype(jnp.float32), ((0, hp - h), (0, wp - w)))
+    wp = _round_up(w, 128)
+    th = _strip_height(wp, n_windows=3)
+    hp = _round_up(h, th)
+    pad3 = ((0, 0), (_M, hp - h + _M), (0, wp - w))
+    pad2 = ((_M, hp - h + _M), (0, wp - w))
+    dp = jnp.pad(dest_roi, pad3)
+    pp = jnp.pad(patch, pad3)
+    mp = jnp.pad((mask_roi != 0).astype(jnp.float32), pad2)
 
     lap = pl.pallas_call(
-        partial(_preprocess_kernel, flags=flags),
-        grid=(c,),
+        partial(_pre_strip_kernel, flags=flags, th=th, h=h, w=w, wp=wp),
+        grid=(c, hp // th),
         in_specs=[
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            _halo_spec(th, wp),
+            _halo_spec(th, wp),
+            _halo_spec_2d(th, wp),
         ],
-        out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, th, wp), lambda c, i: (c, i, 0)),
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
         interpret=interpret,
     )(dp, pp, mp)

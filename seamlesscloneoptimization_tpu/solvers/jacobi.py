@@ -49,7 +49,7 @@ def residual(u: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return g - (_neighbor_sum(u) - 4.0 * u)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "check_every", "return_info"))
+@partial(jax.jit, static_argnames=("max_iters", "check_every", "return_info", "use_pallas"))
 def solve_redblack(
     g: jnp.ndarray,
     u0: jnp.ndarray | None = None,
@@ -57,6 +57,7 @@ def solve_redblack(
     max_iters: int = 10000,
     check_every: int = 50,
     return_info: bool = False,
+    use_pallas: bool = False,
 ):
     """Iterate red-black sweeps until ||r||_inf <= tol * ||g||_inf.
 
@@ -73,10 +74,18 @@ def solve_redblack(
         r = jnp.max(jnp.abs(residual(u, g)))
         return (r > tol * gnorm) & (it < max_iters)
 
+    if use_pallas:
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import rb_sweeps_pallas
+
+        def run_sweeps(u):
+            return rb_sweeps_pallas(u, g, check_every)
+    else:
+        def run_sweeps(u):
+            return jax.lax.fori_loop(0, check_every, lambda _, x: redblack_sweep(x, g), u)
+
     def body(state):
         u, it = state
-        u = jax.lax.fori_loop(0, check_every, lambda _, x: redblack_sweep(x, g), u)
-        return u, it + check_every
+        return run_sweeps(u), it + check_every
 
     u, it = jax.lax.while_loop(cond, body, (u, jnp.int32(0)))
     if return_info:

@@ -104,27 +104,36 @@ def prolong_bilinear(e: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.swapaxes(e, -1, -2)
 
 
-def _sweeps(u, g, n):
+def _sweeps(u, g, n, use_pallas=False):
+    # The Pallas path fuses the n-sweep burst into one HBM round-trip
+    # (~1.7x the XLA sweep on v5e); only worth the launch overhead on
+    # fine grids.
+    if use_pallas and n > 1 and u.shape[-1] * u.shape[-2] >= 1 << 18:
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import rb_sweeps_pallas
+
+        return rb_sweeps_pallas(u, g, n)
     for _ in range(n):
         u = redblack_sweep(u, g)
     return u
 
 
-def vcycle(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 31) -> jnp.ndarray:
+def vcycle(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 31,
+           use_pallas: bool = False) -> jnp.ndarray:
     """One V-cycle; recursion unrolls at trace time over static level shapes."""
     _, h, w = u.shape
     if min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1:
         # Exact coarse solve: tiny DST-basis MXU matmuls beat any smoothing.
         return solve_dst_gemm(g)
-    u = _sweeps(u, g, nu1)
+    u = _sweeps(u, g, nu1, use_pallas)
     r = residual(u, g)
     rc = 4.0 * restrict_fw(r)
-    ec = vcycle(jnp.zeros_like(rc), rc, nu1, nu2, coarsest)
+    ec = vcycle(jnp.zeros_like(rc), rc, nu1, nu2, coarsest, use_pallas)
     u = u + prolong_bilinear(ec, h, w)
-    return _sweeps(u, g, nu2)
+    return _sweeps(u, g, nu2, use_pallas)
 
 
-def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 31) -> jnp.ndarray:
+def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 31,
+        use_pallas: bool = False) -> jnp.ndarray:
     """Full multigrid: coarse-to-fine cascade giving a near-converged start.
 
     Restrict the RHS down the hierarchy (same 4x scaling as the residual
@@ -138,12 +147,12 @@ def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 31) -> jnp.n
     if min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1:
         return solve_dst_gemm(g)
     gc = 4.0 * restrict_fw(g)
-    uc = fmg(gc, nu1, nu2, coarsest)
+    uc = fmg(gc, nu1, nu2, coarsest, use_pallas)
     u = prolong_bilinear(uc, h, w)
-    return vcycle(u, g, nu1, nu2, coarsest)
+    return vcycle(u, g, nu1, nu2, coarsest, use_pallas)
 
 
-@partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2", "return_info"))
+@partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2", "return_info", "use_pallas"))
 def solve_multigrid(
     g: jnp.ndarray,
     u0: jnp.ndarray | None = None,
@@ -152,9 +161,10 @@ def solve_multigrid(
     nu1: int = 2,
     nu2: int = 2,
     return_info: bool = False,
+    use_pallas: bool = False,
 ):
     """FMG start, then V-cycle until ||r||_inf <= tol * ||g||_inf."""
-    u = fmg(g, nu1, nu2) if u0 is None else u0
+    u = fmg(g, nu1, nu2, use_pallas=use_pallas) if u0 is None else u0
     gnorm = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
 
     def cond(state):
@@ -163,7 +173,7 @@ def solve_multigrid(
 
     def body(state):
         u, it = state
-        return vcycle(u, g, nu1, nu2), it + 1
+        return vcycle(u, g, nu1, nu2, use_pallas=use_pallas), it + 1
 
     u, it = jax.lax.while_loop(cond, body, (u, jnp.int32(0)))
     if return_info:
