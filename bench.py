@@ -72,7 +72,8 @@ def main():
     mask = np.full(src.shape[:2], 255, np.uint8)
     center = (dst.shape[1] // 2, dst.shape[0] // 2)
 
-    eng = SeamlessClone(CloneConfig(solver=solver, tol=2e-4, donate_dst=True, precision="high"))
+    eng = SeamlessClone(CloneConfig(solver=solver, tol=2e-4, donate_dst=True, precision="high",
+                                    use_pallas_preprocess=True))
     _, serve_ms = eng.timed_serve(src, dst, mask, center, loops=loops)
 
     # one per-call e2e sample including host->device uploads (reference

@@ -26,6 +26,7 @@ class CloneConfig:
     max_iters: int = 10000  # jacobi sweep cap
     max_cycles: int = 60  # multigrid V-cycle cap
     use_pallas_smoother: bool = False  # fused k-sweep Pallas smoother (TPU only)
+    use_pallas_preprocess: bool = False  # one-pass Pallas erode+guidance+RHS (TPU only)
     debug_dump: bool = False  # save per-stage arrays (ref: SCDEBUG dumps)
     debug_dir: str = "/tmp/scl_debug"
     donate_dst: bool = False  # buffer-donate dst for in-place update
@@ -43,4 +44,5 @@ class CloneConfig:
 
     def cache_key_extras(self) -> tuple:
         return (self.solver, self.precision, self.flags, self.tol,
-                self.max_iters, self.max_cycles, self.use_pallas_smoother)
+                self.max_iters, self.max_cycles, self.use_pallas_smoother,
+                self.use_pallas_preprocess)

@@ -63,6 +63,7 @@ class SeamlessClone:
                     flags=flags,
                     solver=solver,
                     solver_kwargs=self.config.solver_kwargs(),
+                    use_pallas_pre=self.config.use_pallas_preprocess,
                 ),
                 donate_argnums=(1,) if self.config.donate_dst else (),
             )

@@ -38,18 +38,33 @@ def clone_roi(
     solver: Callable[..., jnp.ndarray],
     solver_kwargs: dict[str, Any] | None = None,
     return_stages: bool = False,
+    use_pallas_pre: bool = False,
 ):
     """Clone on a pre-cropped ROI. All planar (C, H, W) u8 / (H, W) u8 mask.
 
     ``patch_u8`` must already be zeroed outside the (pre-erosion) mask.
-    Returns the blended (C, H, W) uint8 ROI.
+    ``use_pallas_pre`` routes erode+guidance+RHS through the one-pass Pallas
+    strip kernel (TPU only; XLA-fused otherwise). Returns the blended
+    (C, H, W) uint8 ROI.
     """
     solver_kwargs = solver_kwargs or {}
-    mask_eroded = erode3x3(binarize_mask(mask_roi))
     dest_f = dest_roi_u8.astype(jnp.float32)
     patch_f = patch_u8.astype(jnp.float32)
-    gx, gy = guidance_field(dest_f, patch_f, mask_eroded, flags)
-    g = poisson_rhs(gx, gy, dest_f)
+    if use_pallas_pre and not return_stages:
+        from seamlesscloneoptimization_tpu.ops.guidance import bgr_to_gray_u8
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import preprocess_rhs_pallas
+
+        if flags == 3:  # MONOCHROME_TRANSFER: gray patch gradients, per OpenCV
+            gray = bgr_to_gray_u8(patch_f)
+            patch_f = jnp.broadcast_to(gray[None], patch_f.shape)
+            kflags = 1
+        else:
+            kflags = flags
+        g = preprocess_rhs_pallas(dest_f, patch_f, mask_roi, kflags)
+    else:
+        mask_eroded = erode3x3(binarize_mask(mask_roi))
+        gx, gy = guidance_field(dest_f, patch_f, mask_eroded, flags)
+        g = poisson_rhs(gx, gy, dest_f)
     u = solver(g, **solver_kwargs)
     blended = postprocess_roi(u, dest_roi_u8)
     if return_stages:
@@ -68,6 +83,7 @@ def clone_pipeline(
     flags: int,
     solver: Callable[..., jnp.ndarray],
     solver_kwargs: dict[str, Any] | None = None,
+    use_pallas_pre: bool = False,
 ):
     """Full-image clone. Static: shapes, bbox_hw, flags, solver. Traced: offsets.
 
@@ -107,7 +123,10 @@ def clone_pipeline(
     dest_p = interleaved_to_planar(dest_roi).astype(jnp.uint8)
     patch = jnp.where(mask_roi[None] != 0, src_p, jnp.uint8(0))
 
-    blended_roi = clone_roi(dest_p, patch, mask_roi, flags, solver, solver_kwargs)
+    blended_roi = clone_roi(
+        dest_p, patch, mask_roi, flags, solver, solver_kwargs,
+        use_pallas_pre=use_pallas_pre,
+    )
 
     out_roi = planar_to_interleaved(blended_roi)  # (bh, bw, C)
     return jax.lax.dynamic_update_slice(dst, out_roi, (top, left, jnp.int32(0)))

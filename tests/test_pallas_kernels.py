@@ -50,3 +50,37 @@ class TestPreprocessPallas:
         )
         want = np.transpose(st["rhs"], (2, 0, 1))
         np.testing.assert_allclose(np.asarray(g), want, atol=1e-3)
+
+
+class TestPipelinePallasPre:
+    def test_clone_roi_pallas_pre_matches_xla(self, airplane, sky, irregular_mask):
+        """use_pallas_pre routes through the strip kernel; output must match
+        the XLA path bit-for-bit (interpret mode on CPU)."""
+        from unittest import mock
+
+        import jax.numpy as jnp
+
+        from seamlesscloneoptimization_tpu.core import reference as R
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+        from seamlesscloneoptimization_tpu.ops import pallas_kernels as PK
+        from seamlesscloneoptimization_tpu.solvers import solve_dst_gemm
+
+        _, st = R.seamless_clone_np(
+            airplane, sky, irregular_mask.copy(), (700, 300), return_stages=True
+        )
+        left, top = st["left_top"]
+        _, _, bw, bh = st["bbox"]
+        dest = jnp.asarray(
+            np.transpose(sky[top : top + bh, left : left + bw], (2, 0, 1))
+        ).astype(jnp.uint8)
+        patch = jnp.asarray(np.transpose(st["patch"], (2, 0, 1))).astype(jnp.uint8)
+        mask = jnp.asarray(st["mask_roi"])
+
+        ref = P.clone_roi(dest, patch, mask, 1, solve_dst_gemm)
+        orig = PK.preprocess_rhs_pallas
+        with mock.patch.object(
+            PK, "preprocess_rhs_pallas",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+        ):
+            got = P.clone_roi(dest, patch, mask, 1, solve_dst_gemm, use_pallas_pre=True)
+        assert np.array_equal(np.asarray(ref), np.asarray(got))
