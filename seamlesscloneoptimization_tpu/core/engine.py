@@ -284,6 +284,28 @@ class SeamlessClone:
             np.save(d / f"{k}.npy", stages[k])
         return out, stages
 
+    def profile(self, logdir: str = "/tmp/scl_profile"):
+        """Context manager: jax.profiler trace viewable in XProf/TensorBoard.
+
+        The TPU equivalent of the reference's nvprof/NVVP workflow
+        (README.md:133-136): per-fusion timing + ICI traffic. Usage:
+
+            with eng.profile() as d:
+                eng.timed_serve(...)
+            # tensorboard --logdir d
+        """
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _trace():
+            jax.profiler.start_trace(logdir)
+            try:
+                yield logdir
+            finally:
+                jax.profiler.stop_trace()
+
+        return _trace()
+
     def destroy(self):
         """Drop cached executables (ref: _destroy)."""
         self._cache.clear()
