@@ -1,0 +1,67 @@
+"""Reference-parity latency table: the PDF §1.1 sizes on one TPU chip.
+
+Reproduces the reference's published benchmark matrix (patch sizes 154x100,
+300x194, 592x592, 2400x1552 into the sky destination scaled 2x the patch
+extent, matching seamlessClone_main.sh:18-23 usage) with the serve-mode
+protocol, for both the exact (f32) and fast (bf16_3x) MXU precisions.
+
+Prints a markdown table plus one JSON line per row.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+# (patch_w, patch_h, dst_w, dst_h, V100-FFT ms from PDF §1.1)
+SIZES = [
+    (154, 100, 1600, 898, 1.651),
+    (300, 194, 1600, 898, 1.968),
+    (592, 592, 1600, 898, 5.401),
+    (2400, 1552, 4800, 2694, 63.988),
+]
+
+
+def main():
+    import cv2
+
+    from seamlesscloneoptimization_tpu.core.config import CloneConfig
+    from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+
+    a = cv2.imread("/root/reference/seamlessClone-OpenCV/images/airplane.jpg")
+    s = cv2.imread("/root/reference/seamlessClone-OpenCV/images/sky.jpg")
+
+    rows = []
+    for pw, ph, dw, dh, v100_ms in SIZES:
+        src = cv2.resize(a, (pw, ph), interpolation=cv2.INTER_CUBIC)
+        dst = cv2.resize(s, (dw, dh), interpolation=cv2.INTER_CUBIC)
+        mask = np.full((ph, pw), 255, np.uint8)
+        center = (dw // 2, dh // 2)
+        row = {"patch": f"{pw}x{ph}", "dst": f"{dw}x{dh}", "v100_fft_ms": v100_ms}
+        for label, prec in (("exact_f32", "highest"), ("fast_bf16x3", "high")):
+            eng = SeamlessClone(
+                CloneConfig(solver="dst_gemm", precision=prec, donate_dst=True,
+                            use_pallas_preprocess=True)
+            )
+            _, ms = eng.timed_serve(src, dst, mask, center, loops=30)
+            row[label + "_ms"] = round(ms, 3)
+        row["speedup_vs_v100"] = round(v100_ms / row["fast_bf16x3_ms"], 1)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print("\n| patch | dst | TPU v5e exact (ms) | TPU v5e fast (ms) | V100 FFT (ms) | speedup |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['patch']} | {r['dst']} | {r['exact_f32_ms']} | "
+            f"{r['fast_bf16x3_ms']} | {r['v100_fft_ms']} | {r['speedup_vs_v100']}x |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,20 @@ class SeamlessClone:
             self._cache[key] = fn
         return fn
 
+    @staticmethod
+    def _validate(src, dst):
+        """Input contract (the reference's asserts, imp.cpp:432-436, as
+        real exceptions): 3-channel uint8 images, dst at least patch-sized."""
+        for name, img in (("src", src), ("dst", dst)):
+            if getattr(img, "ndim", None) != 3 or img.shape[2] != 3:
+                raise ValueError(f"{name} must be (H, W, 3), got {getattr(img, 'shape', None)}")
+            if np.dtype(img.dtype) != np.uint8:
+                raise TypeError(f"{name} must be uint8, got {img.dtype}")
+        if dst.shape[0] < src.shape[0] or dst.shape[1] < src.shape[1]:
+            raise ValueError(
+                f"destination {dst.shape[:2]} smaller than source {src.shape[:2]}"
+            )
+
     # -- host-side mask prep (replaces the reference's device bbox + sync) ---
 
     @staticmethod
@@ -77,6 +91,8 @@ class SeamlessClone:
         mask = np.asarray(mask)
         if mask.ndim == 3:
             mask = mask[..., 0]
+        if mask.shape != tuple(src_shape[:2]):
+            raise ValueError(f"mask shape {mask.shape} != source {tuple(src_shape[:2])}")
         try:
             from seamlesscloneoptimization_tpu import native
 
@@ -110,6 +126,7 @@ class SeamlessClone:
         """
         t0 = time.perf_counter()
         flags = self.config.flags if flags is None else flags
+        self._validate(src, dst)
         if mask is None:
             mask = np.full(src.shape[:2], 255, np.uint8)
         prep = self._prepare(mask, src.shape, dst.shape, center)

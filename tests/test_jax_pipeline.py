@@ -1,6 +1,7 @@
 """JAX pipeline vs the NumPy oracle and vs cv2 (golden), all solvers."""
 
 import cv2
+import jax
 import numpy as np
 import pytest
 
@@ -89,3 +90,39 @@ class TestBatch:
         # both ROIs changed
         assert not np.array_equal(out[50:250, 150:450], sky[50:250, 150:450])
         assert not np.array_equal(out[500:700, 950:1250], sky[500:700, 950:1250])
+
+
+class TestValidation:
+    def test_wrong_channel_count_raises(self, sky):
+        eng = SeamlessClone()
+        gray = sky[..., 0]
+        with pytest.raises(ValueError, match="must be"):
+            eng.run(gray, sky, None, (800, 150))
+
+    def test_wrong_dtype_raises(self, airplane, sky):
+        eng = SeamlessClone()
+        with pytest.raises(TypeError, match="uint8"):
+            eng.run(airplane.astype(np.float32), sky, None, (800, 150))
+
+    def test_dst_smaller_than_src_raises(self, airplane, sky):
+        eng = SeamlessClone()
+        with pytest.raises(ValueError, match="smaller"):
+            eng.run(sky, airplane, None, (100, 100))
+
+    def test_mask_shape_mismatch_raises(self, airplane, sky):
+        eng = SeamlessClone()
+        bad = np.full((10, 10), 255, np.uint8)
+        with pytest.raises(Exception):
+            eng.run(airplane, sky, bad, (800, 150))
+
+
+class TestProfileHook:
+    def test_profile_writes_trace(self, tmp_path, airplane, sky, full_mask):
+        eng = SeamlessClone()
+        with eng.profile(str(tmp_path / "trace")) as d:
+            jax.block_until_ready(eng.run(airplane, sky, full_mask.copy(), (800, 150)))
+        import os
+
+        found = any(f.endswith((".pb", ".json.gz", ".trace.json.gz"))
+                    for _, _, fs in os.walk(d) for f in fs)
+        assert found, "no profiler artifacts written"
