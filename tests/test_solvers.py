@@ -5,7 +5,6 @@ Jacobi/multigrid must converge to the DST answer within tolerance — the
 reference's 'with-FFT vs with-GEMM' cross-check (PDF §1.1 table) generalized.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
