@@ -28,6 +28,12 @@ SIZES = [
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=int, default=None, help="run a single SIZES row")
+    args = ap.parse_args()
+
     import cv2
 
     from seamlesscloneoptimization_tpu.core.config import CloneConfig
@@ -36,8 +42,9 @@ def main():
     a = cv2.imread("/root/reference/seamlessClone-OpenCV/images/airplane.jpg")
     s = cv2.imread("/root/reference/seamlessClone-OpenCV/images/sky.jpg")
 
+    sizes = SIZES if args.only is None else [SIZES[args.only]]
     rows = []
-    for pw, ph, dw, dh, v100_ms in SIZES:
+    for pw, ph, dw, dh, v100_ms in sizes:
         src = cv2.resize(a, (pw, ph), interpolation=cv2.INTER_CUBIC)
         dst = cv2.resize(s, (dw, dh), interpolation=cv2.INTER_CUBIC)
         mask = np.full((ph, pw), 255, np.uint8)
@@ -48,7 +55,8 @@ def main():
                 CloneConfig(solver="dst_gemm", precision=prec, donate_dst=True,
                             use_pallas_preprocess=True)
             )
-            _, ms = eng.timed_serve(src, dst, mask, center, loops=30)
+            loops = max(30, min(300, int(6e6 / (pw * ph))))
+            _, ms = eng.timed_serve(src, dst, mask, center, loops=loops)
             row[label + "_ms"] = round(ms, 3)
         row["speedup_vs_v100"] = round(v100_ms / row["fast_bf16x3_ms"], 1)
         rows.append(row)
