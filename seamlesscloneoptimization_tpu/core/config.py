@@ -25,6 +25,7 @@ class CloneConfig:
     tol: float = 1e-4  # relative residual tolerance (iterative solvers)
     max_iters: int = 10000  # jacobi sweep cap
     max_cycles: int = 60  # multigrid V-cycle cap
+    mg_cycles: int | None = None  # fixed-work multigrid: FMG + N cycles, no checks
     use_pallas_smoother: bool = False  # fused k-sweep Pallas smoother (TPU only)
     use_pallas_preprocess: bool = False  # one-pass Pallas erode+guidance+RHS (TPU only)
     debug_dump: bool = False  # save per-stage arrays (ref: SCDEBUG dumps)
@@ -37,12 +38,13 @@ class CloneConfig:
                     "use_pallas": self.use_pallas_smoother}
         if self.solver == "multigrid":
             return {"tol": self.tol, "max_cycles": self.max_cycles,
-                    "use_pallas": self.use_pallas_smoother}
+                    "use_pallas": self.use_pallas_smoother,
+                    "cycles": self.mg_cycles}
         if self.solver == "dst_gemm":
             return {"precision": self.precision}
         return {}
 
     def cache_key_extras(self) -> tuple:
         return (self.solver, self.precision, self.flags, self.tol,
-                self.max_iters, self.max_cycles, self.use_pallas_smoother,
-                self.use_pallas_preprocess)
+                self.max_iters, self.max_cycles, self.mg_cycles,
+                self.use_pallas_smoother, self.use_pallas_preprocess)
