@@ -31,6 +31,9 @@ class CloneConfig:
     debug_dump: bool = False  # save per-stage arrays (ref: SCDEBUG dumps)
     debug_dir: str = "/tmp/scl_debug"
     donate_dst: bool = False  # buffer-donate dst for in-place update
+    compilation_cache_dir: str | None = "/root/repo/.jax_cache"  # persistent XLA cache
+    # (the TPU-native FFTParams plan cache, SURVEY §5.4: compiles survive
+    # process restarts; None disables)
 
     def solver_kwargs(self) -> dict:
         if self.solver == "jacobi":

@@ -11,14 +11,7 @@
 #include <stdlib.h>
 #include <string.h>
 
-extern void* sc_tpu_create_instance(int device_id, const char* config_json);
-extern int sc_tpu_run(void* inst, const unsigned char* face, int fh, int fw,
-                      const unsigned char* body, int bh, int bw,
-                      const unsigned char* mask, int mh, int mw,
-                      int cx, int cy, unsigned char* out, int sync);
-extern int sc_tpu_sync(void* inst);
-extern void sc_tpu_destroy(void* inst);
-extern const char* sc_tpu_last_error(void);
+#include "../include/seamlessclone_tpu.h"
 
 int main(void) {
   const int fh = 40, fw = 56;   /* source patch */

@@ -177,3 +177,20 @@ class TestCApi:
         )
         assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
         assert "C ABI smoke test PASSED" in r.stdout
+
+
+class TestCliErrors:
+    def test_missing_file_fails_cleanly(self, tmp_path):
+        from seamlesscloneoptimization_tpu.cli import main
+
+        with pytest.raises(FileNotFoundError):
+            main([str(tmp_path / "nope.yml"), str(tmp_path / "nope2.yml"),
+                  str(tmp_path / "nope3.yml"), "10", "10"])
+
+    def test_bad_device_id(self, tmp_path, airplane):
+        from seamlesscloneoptimization_tpu.cli import main
+
+        native.write_yaml_mat(tmp_path / "a.yml", airplane, "src")
+        rc = main([str(tmp_path / "a.yml"), str(tmp_path / "a.yml"),
+                   str(tmp_path / "a.yml"), "10", "10", "99"])
+        assert rc == 2
