@@ -159,3 +159,30 @@ class TestModes1080p:
         mse = np.mean((a - b) ** 2)
         psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
         assert psnr > 35, f"vs cv2 MIXED PSNR {psnr:.1f} dB"
+
+
+class TestFuzzVsCv2:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_random_masks_and_centers_bitclose(self, airplane, sky, seed):
+        """Property test: random blob masks, sizes and paste positions must
+        stay within the reference acceptance bar (diff_max <= 1) vs cv2."""
+        rng = np.random.default_rng(seed)
+        h = int(rng.integers(40, 190))
+        w = int(rng.integers(40, 290))
+        y0 = int(rng.integers(0, airplane.shape[0] - h))
+        x0 = int(rng.integers(0, airplane.shape[1] - w))
+        src = np.ascontiguousarray(airplane[y0 : y0 + h, x0 : x0 + w])
+        mask = np.zeros((h, w), np.uint8)
+        for _ in range(int(rng.integers(1, 4))):
+            cx = int(rng.integers(5, w - 5))
+            cy = int(rng.integers(5, h - 5))
+            r = int(rng.integers(5, max(6, min(h, w) // 2)))
+            cv2.circle(mask, (cx, cy), r, 255, -1)
+        center = (
+            int(rng.integers(w, sky.shape[1] - w)),
+            int(rng.integers(h, sky.shape[0] - h)),
+        )
+        golden = cv2.seamlessClone(src, sky, mask.copy(), center, cv2.NORMAL_CLONE)
+        mine = seamless_clone(src, sky, mask.copy(), center)
+        s, m = diff_stats(golden, mine)
+        assert m <= 1, f"seed {seed}: diff max {m} (sum {s})"
