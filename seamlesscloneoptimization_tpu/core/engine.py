@@ -168,9 +168,20 @@ class SeamlessClone:
             jax.block_until_ready(self._last_out)
 
     def device_memory_bytes(self) -> int:
-        """Live HBM bytes on this device (ref: SCImage::mOccupy, imp.cu:346)."""
+        """Live HBM bytes on this device (ref: SCImage::mOccupy, imp.cu:346).
+
+        Falls back to summing live array buffers when the backend exposes no
+        allocator stats (e.g. tunneled devices).
+        """
         stats = self.device.memory_stats() or {}
-        return int(stats.get("bytes_in_use", 0))
+        n = int(stats.get("bytes_in_use", 0))
+        if n:
+            return n
+        try:
+            return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                       for x in jax.live_arrays())
+        except Exception:
+            return 0
 
     def timed_run(self, src, dst, mask, center, loops: int = 10, warmup: int = 1):
         """Reference timing protocol: warm-up + N timed loops + sync.

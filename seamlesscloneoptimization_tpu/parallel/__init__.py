@@ -1,4 +1,4 @@
-from seamlesscloneoptimization_tpu.parallel.mesh import make_tile_mesh
+from seamlesscloneoptimization_tpu.parallel.mesh import init_distributed, make_tile_mesh
 from seamlesscloneoptimization_tpu.parallel.tiled import (
     halo_exchange,
     solve_redblack_tiled,
@@ -11,6 +11,7 @@ from seamlesscloneoptimization_tpu.parallel.batch import (
 from seamlesscloneoptimization_tpu.parallel.clone_tiled import seamless_clone_tiled
 
 __all__ = [
+    "init_distributed",
     "make_tile_mesh",
     "halo_exchange",
     "solve_redblack_tiled",

@@ -15,6 +15,25 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize multi-host JAX for pod-slice meshes (SURVEY §5.8).
+
+    Thin wrapper over ``jax.distributed.initialize`` (env-var driven when
+    arguments are None — the standard TPU pod bootstrap); afterwards
+    ``make_tile_mesh()`` spans every chip in the slice and the shard_map /
+    GSPMD programs in this package run unchanged, with XLA routing halo
+    ppermutes over ICI within a slice and DCN across slices. No-op if the
+    runtime is already initialized. Single-process (one host) setups never
+    need to call this.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
 def make_tile_mesh(devices=None, shape: tuple[int, int] | None = None) -> Mesh:
     """Create a ('ty', 'tx') mesh over the given (or all) devices.
 

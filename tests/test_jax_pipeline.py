@@ -186,3 +186,15 @@ class TestFuzzVsCv2:
         mine = seamless_clone(src, sky, mask.copy(), center)
         s, m = diff_stats(golden, mine)
         assert m <= 1, f"seed {seed}: diff max {m} (sum {s})"
+
+
+class TestDeterminism:
+    def test_pipeline_bitwise_deterministic(self, airplane, sky, irregular_mask):
+        """SURVEY §5.2: XLA programs are race-free; repeated runs must be
+        bit-identical (the reference relied on single-stream ordering)."""
+        outs = [
+            seamless_clone(airplane, sky, irregular_mask.copy(), (700, 300))
+            for _ in range(3)
+        ]
+        assert np.array_equal(outs[0], outs[1])
+        assert np.array_equal(outs[1], outs[2])
