@@ -16,22 +16,33 @@ On TPU this is four (C-batched) f32 matmuls — exactly what the MXU is for.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def dst_matrix(n: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Orthonormal DST-I matrix, shape (n, n). Symmetric, V @ V = I."""
-    i = jnp.arange(1, n + 1, dtype=jnp.float32)
-    return (jnp.sin(jnp.outer(i, i) * (jnp.pi / (n + 1))) * jnp.sqrt(2.0 / (n + 1))).astype(dtype)
+@lru_cache(maxsize=64)
+def dst_matrix(n: int):
+    """Orthonormal DST-I matrix, shape (n, n). Symmetric, V @ V = I.
+
+    Computed host-side in f64 and cached (same arithmetic as the NumPy
+    oracle), then embedded as a program CONSTANT under jit — the on-device
+    recompute (n^2 sin evaluations per call) cost ~25% of the whole solve
+    at 2400x1552.
+    """
+    i = np.arange(1, n + 1, dtype=np.float64)
+    return (np.sin(np.outer(i, i) * (np.pi / (n + 1))) * np.sqrt(2.0 / (n + 1))).astype(
+        np.float32
+    )
 
 
-def dst_eigenvalues(n: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Eigenvalues 2(cos(k pi/(n+1)) - 1), k = 1..n, shape (n,)."""
-    k = jnp.arange(1, n + 1, dtype=jnp.float32)
-    return (2.0 * (jnp.cos(k * (jnp.pi / (n + 1))) - 1.0)).astype(dtype)
+@lru_cache(maxsize=256)
+def dst_eigenvalues(n: int):
+    """Eigenvalues 2(cos(k pi/(n+1)) - 1), k = 1..n, shape (n,). Host-cached."""
+    k = np.arange(1, n + 1, dtype=np.float64)
+    return (2.0 * (np.cos(k * np.pi / (n + 1)) - 1.0)).astype(np.float32)
 
 
 _PRECISIONS = {
@@ -66,7 +77,7 @@ def solve_dst_gemm(
     _, h, w = g.shape
     vh = dst_matrix(h)
     vw = dst_matrix(w)
-    lam = dst_eigenvalues(h)[:, None] + dst_eigenvalues(w)[None, :]
+    lam = jnp.asarray(dst_eigenvalues(h)[:, None] + dst_eigenvalues(w)[None, :])
     ghat = _mm(_mm_left(vh, g, prec), vw, prec)
     if transform_only:
         return ghat
