@@ -38,7 +38,7 @@ def seamless_clone(
     center: tuple[int, int],
     flags: int = NORMAL_CLONE,
     *,
-    solver: str = "dst_gemm",
+    solver: str = "dst_gemm",  # dst_gemm|dst_fft|jacobi|multigrid|auto
     tol: float = 1e-4,
     to_numpy: bool = True,
 ):

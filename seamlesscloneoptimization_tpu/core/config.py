@@ -19,7 +19,7 @@ MONOCHROME_TRANSFER = 3
 class CloneConfig:
     """Configuration for a SeamlessClone engine instance."""
 
-    solver: str = "dst_gemm"  # dst_gemm | dst_fft | jacobi | multigrid
+    solver: str = "dst_gemm"  # dst_gemm | dst_fft | jacobi | multigrid | auto
     precision: str = "highest"  # dst_gemm MXU passes: highest (f32) | high (bf16_3x)
     flags: int = NORMAL_CLONE
     tol: float = 1e-4  # relative residual tolerance (iterative solvers)
@@ -45,6 +45,8 @@ class CloneConfig:
                     "cycles": self.mg_cycles}
         if self.solver == "dst_gemm":
             return {"precision": self.precision}
+        if self.solver == "auto":
+            return {"precision": self.precision, "tol": self.tol}
         return {}
 
     def cache_key_extras(self) -> tuple:

@@ -24,15 +24,32 @@ from seamlesscloneoptimization_tpu.solvers.dst_fft import solve_dst_fft
 from seamlesscloneoptimization_tpu.solvers.jacobi import solve_redblack, redblack_sweep
 from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 
+def solve_auto(g, precision: str = "highest", tol: float = 1e-4, **_ignored):
+    """Size-based solver selection (static under jit: shapes are traced-time).
+
+    The DST-GEMM direct solve costs O(N^1.5) FLOPs on the MXU and wins up to
+    tens of megapixels; geometric multigrid is O(N) and takes over beyond
+    ~24 MP interiors (where the eigenbasis matrices alone reach hundreds of
+    MB). The crossover constant comes from the measured v5e numbers in
+    docs/PERF.md.
+    """
+    _, h, w = g.shape
+    if h * w > 24_000_000:
+        return solve_multigrid(g, tol=tol, use_pallas=True)
+    return solve_dst_gemm(g, precision=precision)
+
+
 SOLVERS = {
     "dst_gemm": solve_dst_gemm,
     "dst_fft": solve_dst_fft,
     "jacobi": solve_redblack,
     "multigrid": solve_multigrid,
+    "auto": solve_auto,
 }
 
 __all__ = [
     "SOLVERS",
+    "solve_auto",
     "solve_dst_gemm",
     "solve_dst_fft",
     "solve_redblack",

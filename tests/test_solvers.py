@@ -134,3 +134,26 @@ class TestConvergenceComparison:
         )
         assert psnr(u_j) > 40, f"jacobi PSNR {psnr(u_j):.1f}"
         assert psnr(u_m) > 40, f"multigrid PSNR {psnr(u_m):.1f}"
+
+
+class TestAutoSolver:
+    def test_auto_picks_direct_below_crossover(self):
+        from seamlesscloneoptimization_tpu.solvers import solve_auto
+
+        g = _rand_g(64, 96, seed=11)
+        u = solve_auto(g)
+        exact = solve_dst_gemm(g)
+        assert float(jnp.abs(u - exact).max()) == 0.0  # same code path
+
+    def test_auto_via_engine(self):
+        import cv2
+
+        from seamlesscloneoptimization_tpu.api import seamless_clone
+
+        a = cv2.imread("/root/reference/seamlessClone-OpenCV/images/airplane.jpg")
+        s = cv2.imread("/root/reference/seamlessClone-OpenCV/images/sky.jpg")
+        m = np.full(a.shape[:2], 255, np.uint8)
+        golden = cv2.seamlessClone(a, s, m.copy(), (800, 150), cv2.NORMAL_CLONE)
+        out = seamless_clone(a, s, m.copy(), (800, 150), solver="auto")
+        d = np.abs(out.astype(int) - golden.astype(int))
+        assert d.max() <= 1
