@@ -31,6 +31,12 @@ class CloneConfig:
     debug_dump: bool = False  # save per-stage arrays (ref: SCDEBUG dumps)
     debug_dir: str = "/tmp/scl_debug"
     donate_dst: bool = False  # buffer-donate dst for in-place update
+    bbox_bucket: int = 0  # round bbox sizes up to this multiple (0 = exact).
+    # Bucketing amortizes compiles across varying mask sizes in serving: the
+    # ROI is enlarged around the mask (mask stays exact), which moves the
+    # Poisson Dirichlet frame outward — output remains seamless (solved with
+    # MORE context) but differs from cv2's tight-bbox result by ~30-45 dB
+    # PSNR on rough content. Exact-parity serving should pin mask sizes.
     compilation_cache_dir: str | None = "/root/repo/.jax_cache"  # persistent XLA cache
     # (the TPU-native FFTParams plan cache, SURVEY §5.4: compiles survive
     # process restarts; None disables)
@@ -52,4 +58,5 @@ class CloneConfig:
     def cache_key_extras(self) -> tuple:
         return (self.solver, self.precision, self.flags, self.tol,
                 self.max_iters, self.max_cycles, self.mg_cycles,
-                self.use_pallas_smoother, self.use_pallas_preprocess)
+                self.use_pallas_smoother, self.use_pallas_preprocess,
+                self.bbox_bucket)

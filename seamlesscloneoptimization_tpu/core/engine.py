@@ -96,8 +96,7 @@ class SeamlessClone:
 
     # -- host-side mask prep (replaces the reference's device bbox + sync) ---
 
-    @staticmethod
-    def _prepare(mask: np.ndarray, src_shape, dst_shape, center):
+    def _prepare(self, mask: np.ndarray, src_shape, dst_shape, center):
         mask = np.asarray(mask)
         if mask.ndim == 3:
             mask = mask[..., 0]
@@ -122,6 +121,26 @@ class SeamlessClone:
             raise ValueError(
                 f"patch ROI ({left},{top})+({bw}x{bh}) outside destination {dst_shape[:2]}"
             )
+        bucket = getattr(self.config, "bbox_bucket", 0)
+        if bucket:
+            # enlarge the ROI to a bucketed shape so varying mask sizes hit
+            # one compiled program (see CloneConfig.bbox_bucket trade-off);
+            # grow around the tight bbox, clamped into src and dst
+            tb = min(-(-bh // bucket) * bucket, src_shape[0], dst_shape[0])
+            tw = min(-(-bw // bucket) * bucket, src_shape[1], dst_shape[1])
+            # shift the bbox start inside the source so the bucket fits
+            x0b = max(0, min(x0 - (tw - bw) // 2, src_shape[1] - tw))
+            y0b = max(0, min(y0 - (tb - bh) // 2, src_shape[0] - tb))
+            # paste position follows the same offset so the mask lands where
+            # the tight solve would put it
+            leftb = left - (x0 - x0b)
+            topb = top - (y0 - y0b)
+            leftb = max(0, min(leftb, dst_shape[1] - tw))
+            topb = max(0, min(topb, dst_shape[0] - tb))
+            # keep the mask's absolute paste position: requires the same
+            # relative offset; if clamping broke it, fall back to exact
+            if leftb + (x0 - x0b) == left and topb + (y0 - y0b) == top:
+                return m, (x0b, y0b), (leftb, topb), (tb, tw)
         return m, (x0, y0), (left, top), (bh, bw)
 
     # -- public API -----------------------------------------------------------

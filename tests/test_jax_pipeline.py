@@ -216,3 +216,30 @@ class TestJacobiEndToEnd:
         # (the direct/multigrid solvers hold diff_max <= 1; that is their job)
         assert m <= 2, f"jacobi diff max {m} (sum {s})"
         assert s < 100000, f"jacobi diff sum {s}"
+
+
+class TestBboxBucketing:
+    def test_varying_masks_one_compile(self, airplane, sky):
+        """bbox_bucket: different mask sizes share one compiled program."""
+        eng = SeamlessClone(CloneConfig(bbox_bucket=128))
+        for hw in [(60, 90), (80, 70), (100, 120)]:
+            mask = np.zeros(airplane.shape[:2], np.uint8)
+            mask[20 : 20 + hw[0], 30 : 30 + hw[1]] = 255
+            out = eng.run(airplane, sky, mask, (800, 400))
+        eng.sync()
+        assert len(eng._cache) == 1, f"{len(eng._cache)} compiles for 3 mask sizes"
+        assert np.asarray(out).shape == sky.shape
+
+    def test_bucketed_output_stays_seamless(self, airplane, sky):
+        from seamlesscloneoptimization_tpu.core import reference as R
+
+        mask = np.zeros(airplane.shape[:2], np.uint8)
+        cv2.circle(mask, (150, 97), 50, 255, -1)
+        eng = SeamlessClone(CloneConfig(bbox_bucket=128))
+        out = np.asarray(eng.run(airplane, sky, mask.copy(), (800, 400)))
+        tight = R.seamless_clone_np(airplane, sky, mask.copy(), (800, 400))
+        a = out.astype(np.float64)
+        b = tight.astype(np.float64)
+        mse = np.mean((a - b) ** 2)
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+        assert psnr > 40, f"bucketed PSNR {psnr:.1f} dB vs tight solve"
