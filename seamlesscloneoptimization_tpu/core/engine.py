@@ -31,6 +31,62 @@ from seamlesscloneoptimization_tpu.models.pipeline import clone_pipeline
 from seamlesscloneoptimization_tpu.solvers import SOLVERS
 
 
+def prepare_inputs(mask: np.ndarray, src_shape, dst_shape, center, bucket: int = 0):
+    """Host-side mask prep: binarize + border-zero + bbox + ROI placement.
+
+    Replaces the reference's device-side bbox kernel + host sync
+    (seamlessClone_imp.cpp:978-1012) — shapes must be static under XLA, so
+    this runs before tracing. Returns None for an empty mask, else
+    (prepared_mask, (x0, y0), (left, top), (bh, bw)).
+
+    bucket > 0 rounds the ROI up to a multiple (grown around the tight bbox,
+    clamped into both images, paste position preserved or falling back to
+    the exact bbox) so varying mask sizes share one compiled program — see
+    CloneConfig.bbox_bucket for the Dirichlet-frame trade-off.
+    """
+    if bucket < 0:
+        raise ValueError(f"bbox_bucket must be >= 0, got {bucket}")
+    mask = np.asarray(mask)
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    if mask.shape != tuple(src_shape[:2]):
+        raise ValueError(f"mask shape {mask.shape} != source {tuple(src_shape[:2])}")
+    try:
+        from seamlesscloneoptimization_tpu import native
+
+        have_native = native.HAVE_NATIVE
+    except Exception:
+        have_native = False
+    if have_native:
+        m, (x0, y0, bw, bh) = native.prep_mask(mask)
+    else:
+        m = zero_mask_border(np.where(mask != 0, np.uint8(255), np.uint8(0)))
+        x0, y0, bw, bh = mask_bounding_box(m)
+    if bw == 0 or bh == 0:
+        return None
+    cx, cy = center
+    left, top = cx - bw // 2, cy - bh // 2
+    if left < 0 or top < 0 or left + bw > dst_shape[1] or top + bh > dst_shape[0]:
+        raise ValueError(
+            f"patch ROI ({left},{top})+({bw}x{bh}) outside destination {dst_shape[:2]}"
+        )
+    if bucket:
+        tb = min(-(-bh // bucket) * bucket, src_shape[0], dst_shape[0])
+        tw = min(-(-bw // bucket) * bucket, src_shape[1], dst_shape[1])
+        # shift the bbox start inside the source so the bucket fits
+        x0b = max(0, min(x0 - (tw - bw) // 2, src_shape[1] - tw))
+        y0b = max(0, min(y0 - (tb - bh) // 2, src_shape[0] - tb))
+        # paste position follows the same offset so the mask lands where the
+        # tight solve would put it
+        leftb = max(0, min(left - (x0 - x0b), dst_shape[1] - tw))
+        topb = max(0, min(top - (y0 - y0b), dst_shape[0] - tb))
+        # the absolute paste position must survive the clamps; fall back to
+        # the exact bbox otherwise
+        if leftb + (x0 - x0b) == left and topb + (y0 - y0b) == top:
+            return m, (x0b, y0b), (leftb, topb), (tb, tw)
+    return m, (x0, y0), (left, top), (bh, bw)
+
+
 class SeamlessClone:
     """Reusable seamless-clone instance.
 
@@ -97,51 +153,8 @@ class SeamlessClone:
     # -- host-side mask prep (replaces the reference's device bbox + sync) ---
 
     def _prepare(self, mask: np.ndarray, src_shape, dst_shape, center):
-        mask = np.asarray(mask)
-        if mask.ndim == 3:
-            mask = mask[..., 0]
-        if mask.shape != tuple(src_shape[:2]):
-            raise ValueError(f"mask shape {mask.shape} != source {tuple(src_shape[:2])}")
-        try:
-            from seamlesscloneoptimization_tpu import native
-
-            have_native = native.HAVE_NATIVE
-        except Exception:
-            have_native = False
-        if have_native:
-            m, (x0, y0, bw, bh) = native.prep_mask(mask)
-        else:
-            m = zero_mask_border(np.where(mask != 0, np.uint8(255), np.uint8(0)))
-            x0, y0, bw, bh = mask_bounding_box(m)
-        if bw == 0 or bh == 0:
-            return None
-        cx, cy = center
-        left, top = cx - bw // 2, cy - bh // 2
-        if left < 0 or top < 0 or left + bw > dst_shape[1] or top + bh > dst_shape[0]:
-            raise ValueError(
-                f"patch ROI ({left},{top})+({bw}x{bh}) outside destination {dst_shape[:2]}"
-            )
-        bucket = getattr(self.config, "bbox_bucket", 0)
-        if bucket:
-            # enlarge the ROI to a bucketed shape so varying mask sizes hit
-            # one compiled program (see CloneConfig.bbox_bucket trade-off);
-            # grow around the tight bbox, clamped into src and dst
-            tb = min(-(-bh // bucket) * bucket, src_shape[0], dst_shape[0])
-            tw = min(-(-bw // bucket) * bucket, src_shape[1], dst_shape[1])
-            # shift the bbox start inside the source so the bucket fits
-            x0b = max(0, min(x0 - (tw - bw) // 2, src_shape[1] - tw))
-            y0b = max(0, min(y0 - (tb - bh) // 2, src_shape[0] - tb))
-            # paste position follows the same offset so the mask lands where
-            # the tight solve would put it
-            leftb = left - (x0 - x0b)
-            topb = top - (y0 - y0b)
-            leftb = max(0, min(leftb, dst_shape[1] - tw))
-            topb = max(0, min(topb, dst_shape[0] - tb))
-            # keep the mask's absolute paste position: requires the same
-            # relative offset; if clamping broke it, fall back to exact
-            if leftb + (x0 - x0b) == left and topb + (y0 - y0b) == top:
-                return m, (x0b, y0b), (leftb, topb), (tb, tw)
-        return m, (x0, y0), (left, top), (bh, bw)
+        return prepare_inputs(mask, src_shape, dst_shape, center,
+                              bucket=self.config.bbox_bucket)
 
     # -- public API -----------------------------------------------------------
 

@@ -43,14 +43,14 @@ def seamless_clone_tiled(
     compute is partitioned (C, 'ty', 'tx') across ``mesh`` (default: all
     visible devices, most-square factorization). Returns uint8 HWC numpy.
     """
-    from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+    from seamlesscloneoptimization_tpu.core.engine import prepare_inputs
 
     mesh = mesh if mesh is not None else make_tile_mesh()
     src = np.asarray(src)
     dst = np.asarray(dst)
     if mask is None:
         mask = np.full(src.shape[:2], 255, np.uint8)
-    prep = SeamlessClone._prepare(mask, src.shape, dst.shape, center)
+    prep = prepare_inputs(mask, src.shape, dst.shape, center)
     if prep is None:
         return dst.copy()
     m, (x0, y0), (left, top), (bh, bw) = prep
