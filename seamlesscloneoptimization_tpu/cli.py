@@ -46,6 +46,11 @@ def main(argv=None) -> int:
     import jax
 
     from seamlesscloneoptimization_tpu import native
+
+    if not native.HAVE_NATIVE:
+        print("the native extension failed to build (g++ missing?); the CLI "
+              "needs it for YAML/BMP IO", file=sys.stderr)
+        return 3
     from seamlesscloneoptimization_tpu.core.config import CloneConfig
     from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
 

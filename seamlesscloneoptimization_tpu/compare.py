@@ -27,6 +27,11 @@ import numpy as np
 def _load(path: str) -> np.ndarray:
     from seamlesscloneoptimization_tpu import native
 
+    if not native.HAVE_NATIVE:
+        raise RuntimeError(
+            "the native extension failed to build (g++ missing?); the compare "
+            "harness needs it for YAML/BMP IO"
+        )
     p = Path(path)
     if p.suffix in (".yml", ".yaml"):
         return native.read_yaml_mat(p)

@@ -9,6 +9,12 @@ tolerances, debug dumping — no rebuild required.
 from __future__ import annotations
 
 import dataclasses
+import os
+
+_DEFAULT_CACHE_DIR = os.environ.get(
+    "SCL_TPU_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "seamlessclone_tpu", "jax"),
+)
 
 NORMAL_CLONE = 1
 MIXED_CLONE = 2
@@ -37,7 +43,7 @@ class CloneConfig:
     # Poisson Dirichlet frame outward — output remains seamless (solved with
     # MORE context) but differs from cv2's tight-bbox result by ~30-45 dB
     # PSNR on rough content. Exact-parity serving should pin mask sizes.
-    compilation_cache_dir: str | None = "/root/repo/.jax_cache"  # persistent XLA cache
+    compilation_cache_dir: str | None = _DEFAULT_CACHE_DIR  # persistent XLA cache
     # (the TPU-native FFTParams plan cache, SURVEY §5.4: compiles survive
     # process restarts; None disables)
 

@@ -110,14 +110,16 @@ def clone_pipeline(
     src_roi = jax.lax.dynamic_slice(src, (y0, x0, jnp.int32(0)), (bh, bw, c))
     dest_roi = jax.lax.dynamic_slice(dst, (top, left, jnp.int32(0)), (bh, bw, c))
 
-    mask_b = binarize_mask(mask)
-    # 1-px border-zero of the full mask (ref: setMaskBoundaryToConstant)
+    # binarize + 1-px frame-zero of the mask (ref: setMaskBoundaryToConstant),
+    # computed ON THE ROI SLICE with global coordinates — the host prep has
+    # usually done this already, but re-applying keeps raw-mask callers
+    # correct at ROI (not full-mask) cost
     hs, ws = mask.shape
-    row = jax.lax.broadcasted_iota(jnp.int32, (hs, ws), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (hs, ws), 1)
+    mask_roi = binarize_mask(jax.lax.dynamic_slice(mask, (y0, x0), (bh, bw)))
+    row = y0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+    col = x0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
     frame = (row == 0) | (row == hs - 1) | (col == 0) | (col == ws - 1)
-    mask_b = jnp.where(frame, jnp.uint8(0), mask_b)
-    mask_roi = jax.lax.dynamic_slice(mask_b, (y0, x0), (bh, bw))
+    mask_roi = jnp.where(frame, jnp.uint8(0), mask_roi)
 
     src_p = interleaved_to_planar(src_roi).astype(jnp.uint8)  # (C, bh, bw) u8
     dest_p = interleaved_to_planar(dest_roi).astype(jnp.uint8)

@@ -103,7 +103,13 @@ def prep_mask(mask: np.ndarray):
 
     Returns (prepared_mask u8 {0,255}, (x0, y0, bw, bh)); bw == 0 if empty.
     """
-    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    mask = np.asarray(mask)
+    if mask.dtype != np.uint8:
+        # binarize BEFORE the cast: a uint8 cast would truncate (0.5 -> 0,
+        # 256 -> 0) and silently diverge from the `mask != 0` semantics of
+        # the NumPy fallback and the oracle
+        mask = (mask != 0).astype(np.uint8)
+    mask = np.ascontiguousarray(mask)
     h, w = mask.shape
     data, x0, y0, bw, bh = _native.prep_mask(mask.tobytes(), h, w)
     return np.frombuffer(data, np.uint8).reshape(h, w).copy(), (x0, y0, bw, bh)

@@ -96,6 +96,14 @@ bool ensure_interpreter() {
   g_host_mod = PyImport_ImportModule("seamlesscloneoptimization_tpu.capi_host");
   if (!g_host_mod) set_error_from_python();
   PyGILState_Release(gil);
+  if (g_we_initialized) {
+    // Py_InitializeFromConfig leaves THIS thread holding the GIL outside of
+    // any PyGILState pairing; release it so other threads' PyGILState_Ensure
+    // can ever succeed (without this, the documented any-thread contract
+    // deadlocks every thread but the initializer).
+    PyEval_SaveThread();
+    g_we_initialized = false;
+  }
   return g_host_mod != nullptr;
 }
 

@@ -20,6 +20,7 @@
 #include <Python.h>
 
 #include <cstdint>
+#include <stdexcept>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -90,6 +91,11 @@ bool parse_yaml_mat(const char* buf, size_t len, YamlMat* out, std::string* err)
   out->dt = *p;
   if (elem_size(out->dt) == 0) { *err = std::string("unsupported dt: ") + out->dt; return false; }
 
+  if (out->rows <= 0 || out->cols <= 0 || out->channels <= 0 ||
+      (int64_t)out->rows * out->cols * out->channels > (int64_t)1 << 33) {
+    *err = "bad matrix dimensions";
+    return false;
+  }
   if ((p = find_key(buf, end, "data")) == nullptr) { *err = "missing data:"; return false; }
   while (p < end && *p != '[') p++;
   if (p >= end) { *err = "missing data ["; return false; }
@@ -137,7 +143,12 @@ PyObject* py_read_yaml_mat(PyObject*, PyObject* args) {
   std::string err;
   bool ok;
   Py_BEGIN_ALLOW_THREADS
-  ok = parse_yaml_mat(buf.data(), buf.size(), &m, &err);
+  try {
+    ok = parse_yaml_mat(buf.data(), buf.size(), &m, &err);
+  } catch (const std::exception& e) {
+    ok = false;
+    err = e.what();
+  }
   Py_END_ALLOW_THREADS
   if (!ok) { PyErr_Format(PyExc_ValueError, "%s: %s", path, err.c_str()); return nullptr; }
 

@@ -126,6 +126,8 @@ def rb_sweeps_pallas(
     Pads once, launches ceil(k/4) strip-tiled kernels, crops once;
     bitwise-equivalent to k XLA ``redblack_sweep``s.
     """
+    if n_sweeps < 1:
+        return u
     c, h, w = u.shape
     wp = _round_up(w, 128)
     th = _strip_height(wp, n_windows=2)

@@ -137,6 +137,8 @@ def seamless_clone_batch_fused(
             if mask is None
             else np.asarray(mask)
         )
+        if mask.ndim == 3:
+            mask = mask[..., 0]
         if prep_fn is not None:
             m, (x0, y0, bw, bh) = prep_fn(mask)
         else:
@@ -174,7 +176,7 @@ def seamless_clone_batch_fused(
             # in pad mode the bucket window is clamped into the image and the
             # ROI offset inside it so its paste position is preserved
             left_t, top_t = cx - w_i // 2, cy - h_i // 2
-            if left_t < 1 or top_t < 1 or left_t + w_i > W - 1 or top_t + h_i > H - 1:
+            if left_t < 0 or top_t < 0 or left_t + w_i > W or top_t + h_i > H:
                 raise ValueError(f"job at ({cx},{cy}): ROI outside destination")
             left = min(max(left_t, 0), W - bw)
             top = min(max(top_t, 0), H - bh)

@@ -97,9 +97,13 @@ def solve_redblack_tiled(
     if H % ty or W % tx:
         raise ValueError(f"grid {H}x{W} not divisible by mesh {ty}x{tx}; pad first")
     th, tw = H // ty, W // tx
+    if min(th, tw) < 2:
+        raise ValueError(
+            f"tile {th}x{tw} too small for halo exchange; use fewer devices "
+            f"or a bigger grid"
+        )
     k = min(halo, th, tw)  # halo cannot exceed the tile itself
     k -= k % 2
-    k = max(k, 2)
     s = k // 2  # full sweeps per exchange
     Ht, Wt = true_hw if true_hw is not None else (H, W)
 

@@ -33,9 +33,12 @@ def solve_auto(g, precision: str = "highest", tol: float = 1e-4, **_ignored):
     MB). The crossover constant comes from the measured v5e numbers in
     docs/PERF.md.
     """
+    import jax
+
     _, h, w = g.shape
     if h * w > 24_000_000:
-        return solve_multigrid(g, tol=tol, use_pallas=True)
+        return solve_multigrid(g, tol=tol,
+                               use_pallas=jax.default_backend() == "tpu")
     return solve_dst_gemm(g, precision=precision)
 
 

@@ -66,6 +66,8 @@ def solve_redblack(
     per-sweep host sync, the iterative analogue of the reference's
     single-launch design).
     """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     u = jnp.zeros_like(g) if u0 is None else u0
     gnorm = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
 
