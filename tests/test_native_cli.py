@@ -194,3 +194,26 @@ class TestCliErrors:
         rc = main([str(tmp_path / "a.yml"), str(tmp_path / "a.yml"),
                    str(tmp_path / "a.yml"), "10", "10", "99"])
         assert rc == 2
+
+
+class TestNativeFuzz:
+    @pytest.mark.parametrize("content", [
+        b"",
+        b"garbage not yaml at all",
+        b"%YAML:1.0\n---\nrows: 2\ncols: 2\ndt: u\n",           # no data
+        b"%YAML:1.0\n---\nrows: 999999999\ncols: 999999999\ndt: u\ndata: [ 1 ]\n",
+        b"%YAML:1.0\n---\nrows: -5\ncols: 3\ndt: u\ndata: [ 1 ]\n",
+        b"%YAML:1.0\n---\nrows: 2\ncols: 2\ndt: z\ndata: [ 1, 2, 3, 4 ]\n",
+        b"%YAML:1.0\n---\nrows: 4\ncols: 4\ndt: 3u\ndata: [ 1, 2 ]\n",  # short data
+    ])
+    def test_malformed_yaml_raises_not_aborts(self, tmp_path, content):
+        p = tmp_path / "bad.yml"
+        p.write_bytes(content)
+        with pytest.raises((ValueError, KeyError)):
+            native.read_yaml_mat(p)
+
+    def test_truncated_bmp_raises(self, tmp_path):
+        p = tmp_path / "bad.bmp"
+        p.write_bytes(b"BM\x00\x00")
+        with pytest.raises((ValueError, OSError)):
+            native.read_bmp(p)
