@@ -31,8 +31,15 @@ BASELINE_MPS_V100_2400 = 3.7248 / 63.988e-3  # 2400x1552 px / 63.988 ms
 
 
 def load_images(scale_to=(2400, 1552), dst_to=(4800, 2694)):
+    import os
+
     import cv2
 
+    # SCL_BENCH_SIZES="sw,sh,dw,dh" overrides the workload (CI smoke tests)
+    env = os.environ.get("SCL_BENCH_SIZES")
+    if env:
+        sw, sh, dw, dh = (int(x) for x in env.split(","))
+        scale_to, dst_to = (sw, sh), (dw, dh)
     a = cv2.imread("/root/reference/seamlessClone-OpenCV/images/airplane.jpg")
     s = cv2.imread("/root/reference/seamlessClone-OpenCV/images/sky.jpg")
     src = cv2.resize(a, scale_to, interpolation=cv2.INTER_CUBIC)

@@ -50,6 +50,8 @@ def clone_roi(
     solver_kwargs = solver_kwargs or {}
     dest_f = dest_roi_u8.astype(jnp.float32)
     patch_f = patch_u8.astype(jnp.float32)
+    if use_pallas_pre and jax.default_backend() != "tpu":
+        use_pallas_pre = False  # Pallas TPU kernels cannot lower elsewhere
     if use_pallas_pre and not return_stages:
         from seamlesscloneoptimization_tpu.ops.guidance import bgr_to_gray_u8
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import preprocess_rhs_pallas

@@ -76,7 +76,7 @@ def solve_redblack(
         r = jnp.max(jnp.abs(residual(u, g)))
         return (r > tol * gnorm) & (it < max_iters)
 
-    if use_pallas:
+    if use_pallas and jax.default_backend() == "tpu":
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import rb_sweeps_pallas
 
         def run_sweeps(u):

@@ -107,8 +107,9 @@ def prolong_bilinear(e: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 def _sweeps(u, g, n, use_pallas=False):
     # The Pallas path fuses the n-sweep burst into one HBM round-trip
     # (~1.7x the XLA sweep on v5e); only worth the launch overhead on
-    # fine grids.
-    if use_pallas and n > 1 and u.shape[-1] * u.shape[-2] >= 1 << 18:
+    # fine grids, and only lowers on the TPU backend.
+    if (use_pallas and n > 1 and u.shape[-1] * u.shape[-2] >= 1 << 18
+            and jax.default_backend() == "tpu"):
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import rb_sweeps_pallas
 
         return rb_sweeps_pallas(u, g, n)
