@@ -57,10 +57,13 @@ def main():
             )
             # the loop total must dwarf the sync round-trip correction
             # (~30-80 ms through the tunnel), or small sizes underflow
-            loops = max(150, min(600, int(4e7 / (pw * ph))))
+            loops = max(150, min(5000, int(4e7 / (pw * ph))))
             _, ms = eng.timed_serve(src, dst, mask, center, loops=loops)
-            row[label + "_ms"] = round(max(ms, 1e-3), 3)
-        row["speedup_vs_v100"] = round(v100_ms / row["fast_bf16x3_ms"], 1)
+            row[label + "_ms"] = round(ms, 3)
+        fast = row["fast_bf16x3_ms"]
+        # a sub-5us "measurement" means the sync correction swallowed the
+        # loop — report no speedup rather than a fabricated one
+        row["speedup_vs_v100"] = round(v100_ms / fast, 1) if fast > 5e-3 else None
         rows.append(row)
         print(json.dumps(row), flush=True)
 

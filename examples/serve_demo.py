@@ -41,7 +41,9 @@ def main():
         cx = 400 + (i * 37) % 800
         cy = 150 + (i * 23) % 500
         out = eng.run(face, out, mask, (cx, cy))  # async; chains on-device
-    eng.sync()
+    import jax.numpy as jnp
+
+    float(jnp.max(out))  # scalar fetch: block_until_ready can lie via tunnels
     dt = time.perf_counter() - t0
     final = np.asarray(out)
     cv2.imwrite(str(out_dir / "blended_final.jpg"), final)

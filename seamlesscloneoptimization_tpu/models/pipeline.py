@@ -30,6 +30,11 @@ from seamlesscloneoptimization_tpu.ops.postprocess import postprocess_roi
 from seamlesscloneoptimization_tpu.ops.rhs import poisson_rhs
 
 
+def _pallas_backend_available() -> bool:
+    """Trace-time probe for the Pallas TPU backend (patchable in tests)."""
+    return jax.default_backend() == "tpu"
+
+
 def clone_roi(
     dest_roi_u8: jnp.ndarray,
     patch_u8: jnp.ndarray,
@@ -50,7 +55,7 @@ def clone_roi(
     solver_kwargs = solver_kwargs or {}
     dest_f = dest_roi_u8.astype(jnp.float32)
     patch_f = patch_u8.astype(jnp.float32)
-    if use_pallas_pre and jax.default_backend() != "tpu":
+    if use_pallas_pre and not _pallas_backend_available():
         use_pallas_pre = False  # Pallas TPU kernels cannot lower elsewhere
     if use_pallas_pre and not return_stages:
         from seamlesscloneoptimization_tpu.ops.guidance import bgr_to_gray_u8

@@ -65,3 +65,17 @@ def irregular_mask(airplane):
 @pytest.fixture(scope="session")
 def full_mask(airplane):
     return np.full(airplane.shape[:2], 255, np.uint8)
+
+
+def diff_stats(a, b):
+    """Absolute-difference stats (the vs.py acceptance metric): (sum, max)."""
+    d = np.abs(np.asarray(a).astype(np.int64) - np.asarray(b).astype(np.int64))
+    return int(d.sum()), int(d.max())
+
+
+def psnr(a, b) -> float:
+    """PSNR in dB between two u8 images (99.0 for identical)."""
+    x = np.asarray(a, dtype=np.float64)
+    y = np.asarray(b, dtype=np.float64)
+    mse = np.mean((x - y) ** 2)
+    return 99.0 if mse == 0 else float(10 * np.log10(255.0**2 / mse))

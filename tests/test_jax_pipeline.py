@@ -11,9 +11,7 @@ from seamlesscloneoptimization_tpu.core.config import CloneConfig
 from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
 
 
-def diff_stats(a, b):
-    d = cv2.absdiff(np.asarray(a), np.asarray(b))
-    return int(d.sum()), int(d.max())
+from conftest import diff_stats, psnr
 
 
 class TestJaxVsOracle:
@@ -154,11 +152,8 @@ class TestModes1080p:
         assert m <= 1, f"vs oracle diff max {m}"
         # cv2's MIXED internals changed across versions; hold a PSNR bar
         golden = cv2.seamlessClone(src, dst, mask.copy(), (960, 540), cv2.MIXED_CLONE)
-        a = mine.astype(np.float64)
-        b = golden.astype(np.float64)
-        mse = np.mean((a - b) ** 2)
-        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
-        assert psnr > 35, f"vs cv2 MIXED PSNR {psnr:.1f} dB"
+        db = psnr(mine, golden)
+        assert db > 35, f"vs cv2 MIXED PSNR {db:.1f} dB"
 
 
 class TestFuzzVsCv2:
@@ -238,8 +233,5 @@ class TestBboxBucketing:
         eng = SeamlessClone(CloneConfig(bbox_bucket=128))
         out = np.asarray(eng.run(airplane, sky, mask.copy(), (800, 400)))
         tight = R.seamless_clone_np(airplane, sky, mask.copy(), (800, 400))
-        a = out.astype(np.float64)
-        b = tight.astype(np.float64)
-        mse = np.mean((a - b) ** 2)
-        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
-        assert psnr > 40, f"bucketed PSNR {psnr:.1f} dB vs tight solve"
+        db = psnr(out, tight)
+        assert db > 40, f"bucketed PSNR {db:.1f} dB vs tight solve"

@@ -78,9 +78,14 @@ class TestPipelinePallasPre:
 
         ref = P.clone_roi(dest, patch, mask, 1, solve_dst_gemm)
         orig = PK.preprocess_rhs_pallas
-        with mock.patch.object(
-            PK, "preprocess_rhs_pallas",
-            lambda *a, **k: orig(*a, **{**k, "interpret": True}),
-        ):
+        calls = []
+
+        def interp(*a, **k):
+            calls.append(1)
+            return orig(*a, **{**k, "interpret": True})
+
+        with mock.patch.object(PK, "preprocess_rhs_pallas", interp), \
+                mock.patch.object(P, "_pallas_backend_available", lambda: True):
             got = P.clone_roi(dest, patch, mask, 1, solve_dst_gemm, use_pallas_pre=True)
+        assert calls, "the Pallas preprocess path was never exercised"
         assert np.array_equal(np.asarray(ref), np.asarray(got))

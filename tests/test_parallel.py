@@ -60,13 +60,11 @@ class TestHaloExchange:
         tiles = np.asarray(padded_tiles).reshape(2, ty, th + 2, tx, tw + 2)
         for i in range(ty):
             for j in range(tx):
-                tile = tiles[:, i, :, j, :].copy()
-                want = xg[:, i * th : i * th + th + 2, j * tw : j * tw + tw + 2].copy()
-                # corners may differ (stale neighbor corners); zero both
-                for a in (0, -1):
-                    for b in (0, -1):
-                        tile[:, a, b] = 0
-                        want[:, a, b] = 0
+                tile = tiles[:, i, :, j, :]
+                want = xg[:, i * th : i * th + th + 2, j * tw : j * tw + tw + 2]
+                # INCLUDING corners: the column exchange runs after the row
+                # concat, so corner blocks carry true diagonal-neighbor data
+                # (required by the k>1 communication-avoiding sweeps)
                 np.testing.assert_allclose(tile, want, rtol=0, atol=0)
 
 
@@ -203,16 +201,16 @@ class TestFusedBatch64:
         masks = [np.full(s.shape[:2], 255, np.uint8) for s in srcs]
         centers = [(150, 120), (420, 280)]
         out = seamless_clone_batch_fused(dst, srcs, masks, centers, bucket="pad")
+        from conftest import psnr
+
         for src, mask, c in zip(srcs, masks, centers):
             seq = R.seamless_clone_np(src, dst, mask, c)
             m = R.zero_mask_border(mask.copy())
             x0, y0, bw, bh = R.mask_bounding_box(m)
             left, top = c[0] - bw // 2, c[1] - bh // 2
-            a = out[top : top + bh, left : left + bw].astype(np.float64)
-            b = seq[top : top + bh, left : left + bw].astype(np.float64)
-            mse = np.mean((a - b) ** 2)
-            psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
-            assert psnr > 30, f"pad-bucket PSNR {psnr:.1f} dB"
+            db = psnr(out[top : top + bh, left : left + bw],
+                      seq[top : top + bh, left : left + bw])
+            assert db > 30, f"pad-bucket PSNR {db:.1f} dB"
 
 
 class TestTiledClone:

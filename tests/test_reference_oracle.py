@@ -13,9 +13,7 @@ import pytest
 from seamlesscloneoptimization_tpu.core import reference as R
 
 
-def diff_stats(a, b):
-    d = cv2.absdiff(a, b)
-    return int(d.sum()), int(d.max())
+from conftest import diff_stats
 
 
 class TestNormalClone:
