@@ -34,6 +34,7 @@ class CloneConfig:
     mg_cycles: int | None = None  # fixed-work multigrid: FMG + N cycles, no checks
     use_pallas_smoother: bool = False  # fused k-sweep Pallas smoother (TPU only)
     use_pallas_preprocess: bool = False  # one-pass Pallas erode+guidance+RHS (TPU only)
+    use_pallas_postprocess: bool = False  # layout-aware Pallas blend (TPU + dst_gemm only)
     debug_dump: bool = False  # save per-stage arrays (ref: SCDEBUG dumps)
     debug_dir: str = "/tmp/scl_debug"
     donate_dst: bool = False  # buffer-donate dst for in-place update
@@ -65,4 +66,4 @@ class CloneConfig:
         return (self.solver, self.precision, self.flags, self.tol,
                 self.max_iters, self.max_cycles, self.mg_cycles,
                 self.use_pallas_smoother, self.use_pallas_preprocess,
-                self.bbox_bucket)
+                self.use_pallas_postprocess, self.bbox_bucket)

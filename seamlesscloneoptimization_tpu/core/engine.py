@@ -130,6 +130,8 @@ class SeamlessClone:
                     solver=solver,
                     solver_kwargs=self.config.solver_kwargs(),
                     use_pallas_pre=self.config.use_pallas_preprocess,
+                    use_pallas_post=(self.config.use_pallas_postprocess
+                                     and self.config.solver == "dst_gemm"),
                 ),
                 donate_argnums=(1,) if self.config.donate_dst else (),
             )

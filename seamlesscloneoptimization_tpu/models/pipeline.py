@@ -44,19 +44,23 @@ def clone_roi(
     solver_kwargs: dict[str, Any] | None = None,
     return_stages: bool = False,
     use_pallas_pre: bool = False,
+    use_pallas_post: bool = False,
 ):
     """Clone on a pre-cropped ROI. All planar (C, H, W) u8 / (H, W) u8 mask.
 
     ``patch_u8`` must already be zeroed outside the (pre-erosion) mask.
     ``use_pallas_pre`` routes erode+guidance+RHS through the one-pass Pallas
-    strip kernel (TPU only; XLA-fused otherwise). Returns the blended
-    (C, H, W) uint8 ROI.
+    strip kernel; ``use_pallas_post`` asks the solver for its transposed
+    output and blends it with the layout-aware Pallas postprocess (dst_gemm
+    only — the engine gates this). Both TPU only; XLA-fused otherwise.
+    Returns the blended (C, H, W) uint8 ROI.
     """
     solver_kwargs = solver_kwargs or {}
     dest_f = dest_roi_u8.astype(jnp.float32)
     patch_f = patch_u8.astype(jnp.float32)
-    if use_pallas_pre and not _pallas_backend_available():
+    if not _pallas_backend_available():
         use_pallas_pre = False  # Pallas TPU kernels cannot lower elsewhere
+        use_pallas_post = False
     if use_pallas_pre and not return_stages:
         from seamlesscloneoptimization_tpu.ops.guidance import bgr_to_gray_u8
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import preprocess_rhs_pallas
@@ -72,6 +76,14 @@ def clone_roi(
         mask_eroded = erode3x3(binarize_mask(mask_roi))
         gx, gy = guidance_field(dest_f, patch_f, mask_eroded, flags)
         g = poisson_rhs(gx, gy, dest_f)
+    if use_pallas_post and not return_stages:
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            postprocess_transposed_pallas,
+        )
+
+        u_t = solver(g, transposed_output=True, **solver_kwargs)
+        blended = postprocess_transposed_pallas(u_t, dest_roi_u8)
+        return blended
     u = solver(g, **solver_kwargs)
     blended = postprocess_roi(u, dest_roi_u8)
     if return_stages:
@@ -91,6 +103,7 @@ def clone_pipeline(
     solver: Callable[..., jnp.ndarray],
     solver_kwargs: dict[str, Any] | None = None,
     use_pallas_pre: bool = False,
+    use_pallas_post: bool = False,
 ):
     """Full-image clone. Static: shapes, bbox_hw, flags, solver. Traced: offsets.
 
@@ -134,7 +147,7 @@ def clone_pipeline(
 
     blended_roi = clone_roi(
         dest_p, patch, mask_roi, flags, solver, solver_kwargs,
-        use_pallas_pre=use_pallas_pre,
+        use_pallas_pre=use_pallas_pre, use_pallas_post=use_pallas_post,
     )
 
     out_roi = planar_to_interleaved(blended_roi)  # (bh, bw, C)

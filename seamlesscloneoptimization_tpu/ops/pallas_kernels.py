@@ -242,3 +242,65 @@ def preprocess_rhs_pallas(
     g = g.at[:, :, 0].add(-d[:, 1:-1, 0])
     g = g.at[:, :, -1].add(-d[:, 1:-1, -1])
     return g
+
+
+# ---------------------------------------------------------------------------
+# Layout-aware post-processing: transposed solve output -> u8 blended ROI
+# ---------------------------------------------------------------------------
+
+
+def _post_strip_kernel(u_ref, dest_ref, out_ref, *, th, bh, bw, w2p):
+    """One (TH, BWp) output strip: transpose the (W2p, TH) solve slab in VMEM,
+    clamp + truncate-cast, and merge with the destination borders."""
+    i = pl.program_id(1)
+    u_tr = jnp.transpose(u_ref[0], (1, 0))  # (TH, W2p)
+    # out column j holds interior column j-1; shift right by one and pad to BWp
+    iv = jnp.pad(u_tr, ((0, 0), (1, out_ref.shape[2] - 1 - w2p)))
+    rows = i * th + jax.lax.broadcasted_iota(jnp.int32, iv.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, iv.shape, 1)
+    interior = (rows >= 1) & (rows <= bh - 2) & (cols >= 1) & (cols <= bw - 2)
+    # Mosaic lacks a direct f32->u8 cast; go through int32 (same truncation)
+    val = jnp.clip(iv, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    out_ref[0] = jnp.where(interior, val, dest_ref[0])
+
+
+def postprocess_transposed_pallas(
+    u_t: jnp.ndarray,
+    dest_roi_u8: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Blend a TRANSPOSED interior solution into the destination ROI.
+
+    u_t: (C, W-2, H-2) f32 — the solve output in transposed orientation
+    (solve_dst_gemm(transposed_output=True)). XLA's GEMM schedule naturally
+    ends in this orientation (docs/PERF.md op profile), so consuming it here
+    removes the final physical un-transpose AND the cast fusion: one strip
+    pass transposes each slab in VMEM, clamps, truncate-casts and merges the
+    ROI borders. dest_roi_u8: (C, H, W) u8; returns (C, H, W) u8.
+    """
+    c, bh, bw = dest_roi_u8.shape
+    w2, h2 = u_t.shape[1], u_t.shape[2]
+    assert (w2, h2) == (bw - 2, bh - 2), (u_t.shape, dest_roi_u8.shape)
+    th = 128
+    hp = _round_up(bh, th)
+    bwp = _round_up(bw, 128)
+    w2p = _round_up(w2, 8)
+    # u_pad[:, :, r] corresponds to output row r (leading zero column)
+    u_pad = jnp.pad(u_t, ((0, 0), (0, w2p - w2), (1, hp - h2 - 1)))
+    dest_pad = jnp.pad(dest_roi_u8, ((0, 0), (0, hp - bh), (0, bwp - bw)))
+
+    out = pl.pallas_call(
+        partial(_post_strip_kernel, th=th, bh=bh, bw=bw, w2p=w2p),
+        grid=(c, hp // th),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(w2p), pl.Element(th)),
+                lambda ci, i: (ci, 0, pl.multiple_of(i * th, 128)),
+            ),
+            pl.BlockSpec((1, th, bwp), lambda ci, i: (ci, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, bwp), lambda ci, i: (ci, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, hp, bwp), jnp.uint8),
+        interpret=interpret,
+    )(u_pad, dest_pad)
+    return out[:, :bh, :bw]

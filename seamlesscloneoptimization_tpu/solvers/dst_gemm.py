@@ -60,9 +60,12 @@ def _mm_left(m, a, prec):
     return jnp.einsum("ij,...jk->...ik", m, a, precision=prec)
 
 
-@partial(jax.jit, static_argnames=("transform_only", "precision"))
+@partial(jax.jit, static_argnames=("transform_only", "precision", "transposed_output"))
 def solve_dst_gemm(
-    g: jnp.ndarray, transform_only: bool = False, precision: str = "highest"
+    g: jnp.ndarray,
+    transform_only: bool = False,
+    precision: str = "highest",
+    transposed_output: bool = False,
 ) -> jnp.ndarray:
     """Solve A u = g for g: (C, H, W) f32 via 4 batched GEMMs.
 
@@ -77,6 +80,16 @@ def solve_dst_gemm(
     _, h, w = g.shape
     vh = dst_matrix(h)
     vw = dst_matrix(w)
+    if transposed_output:
+        # run the whole chain in transposed space so the LOGICAL output is
+        # (C, W, H): XLA's internal GEMM schedule already ends transposed
+        # (see docs/PERF.md op profile), so this skips the final physical
+        # un-transpose and lets a layout-aware postprocess consume it
+        lam_t = jnp.asarray(dst_eigenvalues(w)[:, None] + dst_eigenvalues(h)[None, :])
+        g_t = jnp.swapaxes(g, 1, 2)
+        ghat_t = _mm(_mm_left(vw, g_t, prec), vh, prec)
+        uhat_t = ghat_t / lam_t[None, :, :]
+        return _mm(_mm_left(vw, uhat_t, prec), vh, prec)
     lam = jnp.asarray(dst_eigenvalues(h)[:, None] + dst_eigenvalues(w)[None, :])
     ghat = _mm(_mm_left(vh, g, prec), vw, prec)
     if transform_only:

@@ -89,3 +89,29 @@ class TestPipelinePallasPre:
             got = P.clone_roi(dest, patch, mask, 1, solve_dst_gemm, use_pallas_pre=True)
         assert calls, "the Pallas preprocess path was never exercised"
         assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+class TestPostprocessTransposedPallas:
+    def test_matches_xla_postprocess(self):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            postprocess_transposed_pallas,
+        )
+        from seamlesscloneoptimization_tpu.ops.postprocess import postprocess_roi
+
+        rng = np.random.default_rng(3)
+        bh, bw = 150, 260
+        dest = jnp.asarray(rng.integers(0, 256, (3, bh, bw)).astype(np.uint8))
+        u = jnp.asarray(rng.normal(size=(3, bh - 2, bw - 2)).astype(np.float32) * 120 + 100)
+        ref = postprocess_roi(u, dest)
+        got = postprocess_transposed_pallas(jnp.swapaxes(u, 1, 2), dest, interpret=True)
+        assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_transposed_solver_chain_matches(self):
+        from seamlesscloneoptimization_tpu.solvers import solve_dst_gemm
+
+        rng = np.random.default_rng(4)
+        g = jnp.asarray(rng.normal(size=(3, 60, 90)).astype(np.float32) * 50)
+        u1 = solve_dst_gemm(g)
+        u2 = jnp.swapaxes(solve_dst_gemm(g, transposed_output=True), 1, 2)
+        scale = float(jnp.abs(u1).max())
+        assert float(jnp.abs(u1 - u2).max()) / scale < 1e-5
