@@ -283,8 +283,11 @@ def postprocess_transposed_pallas(
     assert (w2, h2) == (bw - 2, bh - 2), (u_t.shape, dest_roi_u8.shape)
     th = 128
     hp = _round_up(bh, th)
-    bwp = _round_up(bw, 128)
     w2p = _round_up(w2, 8)
+    # The kernel right-shifts the (TH, W2p) slab by one lane before masking,
+    # so the output lane dim must hold W2p+1 columns: without the max() the
+    # shift pad went negative for bw % 128 in {0, 123..127} (VERDICT weak #1).
+    bwp = max(_round_up(bw, 128), _round_up(w2p + 1, 128))
     # u_pad[:, :, r] corresponds to output row r (leading zero column)
     u_pad = jnp.pad(u_t, ((0, 0), (0, w2p - w2), (1, hp - h2 - 1)))
     dest_pad = jnp.pad(dest_roi_u8, ((0, 0), (0, hp - bh), (0, bwp - bw)))
