@@ -104,16 +104,31 @@ class SeamlessClone:
             # persistent executable cache (SURVEY §5.4: the cuFFT-plan-cache
             # analogue, but across processes). Measured 178 s -> 2.4 s for a
             # fresh process recompiling the same shape through the tunnel.
+            # jax's cache config is process-global; never clobber a value the
+            # embedding application already chose (ADVICE r1).
             try:
-                jax.config.update("jax_compilation_cache_dir",
-                                  self.config.compilation_cache_dir)
-                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+                if jax.config.jax_compilation_cache_dir is None:
+                    jax.config.update("jax_compilation_cache_dir",
+                                      self.config.compilation_cache_dir)
+                    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
             except Exception:
                 pass
         self.device = device or jax.devices()[0]
         self._cache: dict[tuple, Any] = {}
         self._last_out = None
+        self._held: dict[int, Any] = {}  # id -> weakref of arrays THIS engine made
         self.metrics: dict[str, Any] = {}
+
+    def _track(self, x):
+        """Register a device array in this instance's memory accounting
+        (ref: SCImage::createImage tallying mOccupy, imp.h:110-131)."""
+        import weakref
+
+        try:
+            self._held[id(x)] = weakref.ref(x)
+        except TypeError:
+            pass
+        return x
 
     # -- compilation cache ---------------------------------------------------
 
@@ -141,15 +156,20 @@ class SeamlessClone:
     @staticmethod
     def _validate(src, dst):
         """Input contract (the reference's asserts, imp.cpp:432-436, as
-        real exceptions): 3-channel uint8 images, dst at least patch-sized."""
+        real exceptions): 3-channel uint8 images, dst area >= patch area.
+
+        Per-dimension fit is NOT required (matching the reference's
+        area-only assert and cv2, which only need the mask ROI to land
+        inside dst — prepare_inputs enforces that).
+        """
         for name, img in (("src", src), ("dst", dst)):
             if getattr(img, "ndim", None) != 3 or img.shape[2] != 3:
                 raise ValueError(f"{name} must be (H, W, 3), got {getattr(img, 'shape', None)}")
             if np.dtype(img.dtype) != np.uint8:
                 raise TypeError(f"{name} must be uint8, got {img.dtype}")
-        if dst.shape[0] < src.shape[0] or dst.shape[1] < src.shape[1]:
+        if dst.shape[0] * dst.shape[1] < src.shape[0] * src.shape[1]:
             raise ValueError(
-                f"destination {dst.shape[:2]} smaller than source {src.shape[:2]}"
+                f"destination area {dst.shape[:2]} smaller than source {src.shape[:2]}"
             )
 
     # -- host-side mask prep (replaces the reference's device bbox + sync) ---
@@ -175,21 +195,23 @@ class SeamlessClone:
             mask = np.full(src.shape[:2], 255, np.uint8)
         prep = self._prepare(mask, src.shape, dst.shape, center)
         if prep is None:
-            self._last_out = jax.device_put(dst, self.device)
+            self._last_out = self._track(jax.device_put(dst, self.device))
             return self._last_out
         m, (x0, y0), (left, top), (bh, bw) = prep
         fn = self._compiled(tuple(src.shape), tuple(dst.shape), (bh, bw), flags)
 
         def put(x):
-            return x if isinstance(x, jax.Array) else jax.device_put(x, self.device)
+            if isinstance(x, jax.Array):
+                return x
+            return self._track(jax.device_put(x, self.device))
 
-        out = fn(
+        out = self._track(fn(
             put(src),
             put(dst),
-            jax.device_put(m, self.device),
+            self._track(jax.device_put(m, self.device)),
             np.array([x0, y0], np.int32),
             np.array([left, top], np.int32),
-        )
+        ))
         self._last_out = out
         self.metrics["dispatch_ms"] = (time.perf_counter() - t0) * 1e3
         self.metrics["bbox"] = (x0, y0, bw, bh)
@@ -201,35 +223,56 @@ class SeamlessClone:
         if self._last_out is not None:
             jax.block_until_ready(self._last_out)
 
-    def device_memory_bytes(self) -> int:
-        """Live HBM bytes on this device (ref: SCImage::mOccupy, imp.cu:346).
+    def device_memory_bytes(self, process_wide: bool = False) -> int:
+        """Live HBM bytes (ref: SCImage::mOccupy, imp.cu:346).
 
-        Falls back to summing live array buffers when the backend exposes no
-        allocator stats (e.g. tunneled devices).
+        Default: bytes of device arrays THIS instance created and that are
+        still alive — per-instance, correct with several engines (or other
+        JAX users) in one process, like the reference's per-class static
+        byte counter. ``process_wide=True`` returns the backend allocator's
+        bytes_in_use instead (all users, all instances).
         """
-        stats = self.device.memory_stats() or {}
-        n = int(stats.get("bytes_in_use", 0))
-        if n:
-            return n
-        try:
-            return sum(int(np.prod(x.shape)) * x.dtype.itemsize
-                       for x in jax.live_arrays())
-        except Exception:
-            return 0
+        if process_wide:
+            stats = self.device.memory_stats() or {}
+            n = int(stats.get("bytes_in_use", 0))
+            if n:
+                return n
+            try:
+                return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                           for x in jax.live_arrays())
+            except Exception:
+                return 0
+        total = 0
+        dead = []
+        for k, ref in self._held.items():
+            x = ref()
+            if x is None or (hasattr(x, "is_deleted") and x.is_deleted()):
+                dead.append(k)
+                continue
+            total += int(np.prod(x.shape)) * x.dtype.itemsize
+        for k in dead:
+            del self._held[k]
+        return total
 
     def timed_run(self, src, dst, mask, center, loops: int = 10, warmup: int = 1):
         """Reference timing protocol: warm-up + N timed loops + sync.
 
         (imp.cu:281-349: warm-up call, cudaEventRecord around LOOPS runs.)
         Each loop re-uploads the host inputs, like the reference's per-call
-        H2D memcpys (imp.cpp:419-421). Returns (out, mean_ms).
+        H2D memcpys (imp.cpp:419-421). The end-of-loop sync fetches a scalar
+        reduction of the result — ``block_until_ready`` alone can return
+        before lazily-scheduled tunnel work actually ran (same protocol as
+        ``timed_serve``). Returns (out, mean_ms).
         """
+        import jax.numpy as jnp
+
+        sync = jax.jit(lambda x: jnp.max(x))
         for _ in range(warmup):
-            jax.block_until_ready(self.run(src, dst, mask, center))
+            float(sync(self.run(src, dst, mask, center)))
         t0 = time.perf_counter()
         for _ in range(loops):
             out = self.run(src, dst, mask, center)
-        jax.block_until_ready(out)
+        float(sync(out))
         mean_ms = (time.perf_counter() - t0) * 1e3 / loops
         self.metrics["compute_ms"] = mean_ms
         self.metrics["device_memory_bytes"] = self.device_memory_bytes()
@@ -265,9 +308,9 @@ class SeamlessClone:
         assert prep is not None, "empty mask"
         m, (x0, y0), (left, top), (bh, bw) = prep
         fn = self._compiled(src.shape, dst.shape, (bh, bw), flags)
-        src_d = jax.device_put(src, self.device)
-        out = jax.device_put(dst, self.device)
-        m_d = jax.device_put(m, self.device)
+        src_d = self._track(jax.device_put(src, self.device))
+        out = self._track(jax.device_put(dst, self.device))
+        m_d = self._track(jax.device_put(m, self.device))
         bxy = jax.device_put(np.array([x0, y0], np.int32), self.device)
         lt = jax.device_put(np.array([left, top], np.int32), self.device)
         import jax.numpy as jnp
@@ -287,6 +330,7 @@ class SeamlessClone:
 
         # two passes, take the faster: tunnel latency spikes are one-sided noise
         mean_ms = min(one_pass(), one_pass())
+        self._track(out)
         self.metrics["compute_ms"] = mean_ms
         self.metrics["sync_overhead_ms"] = rpc_ms
         self.metrics["device_memory_bytes"] = self.device_memory_bytes()
@@ -381,4 +425,5 @@ class SeamlessClone:
     def destroy(self):
         """Drop cached executables (ref: _destroy)."""
         self._cache.clear()
+        self._held.clear()
         self._last_out = None

@@ -73,6 +73,20 @@ class TestEngine:
         assert ms > 0
         assert "compute_ms" in eng.metrics
 
+    def test_per_instance_memory_accounting(self, airplane, sky, full_mask):
+        """device_memory_bytes is per-engine (ref: SCImage::mOccupy): a second
+        engine's traffic must not inflate the first engine's number."""
+        a = SeamlessClone()
+        jax.block_until_ready(a.run(airplane, sky, full_mask.copy(), (800, 150)))
+        bytes_a = a.device_memory_bytes()
+        assert bytes_a >= sky.nbytes  # at least its own output image
+        b = SeamlessClone()
+        jax.block_until_ready(b.run(airplane, sky, full_mask.copy(), (800, 150)))
+        assert a.device_memory_bytes() == bytes_a
+        assert b.device_memory_bytes() >= sky.nbytes
+        b.destroy()
+        assert b.device_memory_bytes() == 0
+
 
 class TestBatch:
     def test_sequential_batch_composites(self, airplane, sky):
@@ -106,6 +120,19 @@ class TestValidation:
         eng = SeamlessClone()
         with pytest.raises(ValueError, match="smaller"):
             eng.run(sky, airplane, None, (100, 100))
+
+    def test_wide_src_into_tall_dst_allowed(self):
+        """The reference asserts AREA only (imp.cpp:436); a wide-short src
+        whose mask ROI fits inside a tall-narrow dst is valid input."""
+        rng = np.random.default_rng(0)
+        src = rng.integers(0, 256, (40, 200, 3)).astype(np.uint8)  # wide-short
+        dst = rng.integers(0, 256, (400, 100, 3)).astype(np.uint8)  # tall-narrow
+        mask = np.zeros(src.shape[:2], np.uint8)
+        mask[10:30, 80:120] = 255  # 40x20 ROI, fits in dst
+        eng = SeamlessClone()
+        out = np.asarray(eng.run(src, dst, mask, (50, 200)))
+        assert out.shape == dst.shape
+        assert not np.array_equal(out, dst)
 
     def test_mask_shape_mismatch_raises(self, airplane, sky):
         eng = SeamlessClone()
