@@ -28,6 +28,9 @@ class CloneConfig:
     solver: str = "dst_gemm"  # dst_gemm | dst_fft | jacobi | multigrid | auto
     precision: str = "highest"  # dst_gemm MXU passes: highest (f32) | high (bf16_3x)
     flags: int = NORMAL_CLONE
+    mixed_rule: str = "opencv"  # MIXED_CLONE comparison: "opencv" (bit-parity
+    # with shipped cv2: strict |gx_p-gy_p| > |gx_d-gy_d|) | "norm" (the
+    # Perez-paper larger-|grad|^2 variant, OpenCV-3.4.5 style)
     tol: float = 1e-4  # relative residual tolerance (iterative solvers)
     max_iters: int = 10000  # jacobi sweep cap
     max_cycles: int = 60  # multigrid V-cycle cap
@@ -63,7 +66,7 @@ class CloneConfig:
         return {}
 
     def cache_key_extras(self) -> tuple:
-        return (self.solver, self.precision, self.flags, self.tol,
+        return (self.solver, self.precision, self.flags, self.mixed_rule, self.tol,
                 self.max_iters, self.max_cycles, self.mg_cycles,
                 self.use_pallas_smoother, self.use_pallas_preprocess,
                 self.use_pallas_postprocess, self.bbox_bucket)

@@ -147,6 +147,7 @@ class SeamlessClone:
                     use_pallas_pre=self.config.use_pallas_preprocess,
                     use_pallas_post=(self.config.use_pallas_postprocess
                                      and self.config.solver == "dst_gemm"),
+                    mixed_rule=self.config.mixed_rule,
                 ),
                 donate_argnums=(1,) if self.config.donate_dst else (),
             )

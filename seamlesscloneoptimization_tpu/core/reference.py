@@ -39,6 +39,11 @@ NORMAL_CLONE = 1
 MIXED_CLONE = 2
 MONOCHROME_TRANSFER = 3
 
+# MIXED_CLONE gradient-selection rule: "opencv" (bit-parity with shipped
+# cv2, component-difference comparison) or "norm" (larger-|grad|^2, the
+# Perez/3.4.5-style variant). Module-level so all paths stay consistent.
+MIXED_RULE = "opencv"
+
 
 # ---------------------------------------------------------------------------
 # Stage 1-2: mask preparation
@@ -130,13 +135,18 @@ def guidance_field(
     if flags == NORMAL_CLONE:
         gx_p, gy_p = gradient_x(patch), gradient_y(patch)
     elif flags == MIXED_CLONE:
-        # Per-pixel-per-channel: keep whichever gradient vector (gx, gy) has
-        # the larger squared norm (OpenCV 3.4.5 Cloning::normalClone MIXED
-        # branch). NOTE: validated against cv2 at PSNR level, not bit-level —
-        # newer OpenCV changed the mixing details; NORMAL and MONOCHROME are
-        # bit-close.
+        # Per-pixel-per-channel, keep the patch gradient iff
+        #   |gx_p - gy_p| > |gx_d - gy_d|        (strict >)
+        # — the comparison OpenCV actually ships (Cloning::normalClone MIXED
+        # branch, modules/photo/src/seamless_cloning_impl.cpp; identified
+        # empirically against cv2 5.0: diff_max <= 1 on random images,
+        # whereas gradient-norm comparisons diverge by ~40-90 LSB). The
+        # textbook larger-|grad|^2 rule is kept as MIXED_RULE="norm".
         gx_p, gy_p = gradient_x(patch), gradient_y(patch)
-        take_d = (gx_p * gx_p + gy_p * gy_p) < (gx_d * gx_d + gy_d * gy_d)
+        if MIXED_RULE == "norm":  # Perez-paper-style variant
+            take_d = (gx_p * gx_p + gy_p * gy_p) < (gx_d * gx_d + gy_d * gy_d)
+        else:
+            take_d = np.abs(gx_p - gy_p) <= np.abs(gx_d - gy_d)
         gx_p = np.where(take_d, gx_d, gx_p)
         gy_p = np.where(take_d, gy_d, gy_p)
     elif flags == MONOCHROME_TRANSFER:

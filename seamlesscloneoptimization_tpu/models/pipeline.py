@@ -45,6 +45,7 @@ def clone_roi(
     return_stages: bool = False,
     use_pallas_pre: bool = False,
     use_pallas_post: bool = False,
+    mixed_rule: str = "opencv",
 ):
     """Clone on a pre-cropped ROI. All planar (C, H, W) u8 / (H, W) u8 mask.
 
@@ -71,10 +72,10 @@ def clone_roi(
             kflags = 1
         else:
             kflags = flags
-        g = preprocess_rhs_pallas(dest_f, patch_f, mask_roi, kflags)
+        g = preprocess_rhs_pallas(dest_f, patch_f, mask_roi, kflags, mixed_rule)
     else:
         mask_eroded = erode3x3(binarize_mask(mask_roi))
-        gx, gy = guidance_field(dest_f, patch_f, mask_eroded, flags)
+        gx, gy = guidance_field(dest_f, patch_f, mask_eroded, flags, mixed_rule)
         g = poisson_rhs(gx, gy, dest_f)
     if use_pallas_post and not return_stages:
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
@@ -104,6 +105,7 @@ def clone_pipeline(
     solver_kwargs: dict[str, Any] | None = None,
     use_pallas_pre: bool = False,
     use_pallas_post: bool = False,
+    mixed_rule: str = "opencv",
 ):
     """Full-image clone. Static: shapes, bbox_hw, flags, solver. Traced: offsets.
 
@@ -148,6 +150,7 @@ def clone_pipeline(
     blended_roi = clone_roi(
         dest_p, patch, mask_roi, flags, solver, solver_kwargs,
         use_pallas_pre=use_pallas_pre, use_pallas_post=use_pallas_post,
+        mixed_rule=mixed_rule,
     )
 
     out_roi = planar_to_interleaved(blended_roi)  # (bh, bw, C)

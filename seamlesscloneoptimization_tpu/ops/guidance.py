@@ -54,11 +54,15 @@ def guidance_field(
     patch: jnp.ndarray,
     mask_eroded: jnp.ndarray,
     flags: int = NORMAL_CLONE,
+    mixed_rule: str = "opencv",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Blended guidance gradients (gx, gy), each (C, H, W) f32.
 
     dest_roi, patch: (C, H, W) float32. mask_eroded: (H, W) uint8.
     flags is a static Python int (switches are resolved at trace time).
+    mixed_rule: "opencv" = the comparison cv2 actually ships for MIXED
+    (|gx_p - gy_p| > |gx_d - gy_d|, strict, per channel — bit-parity,
+    verified vs cv2 5.0); "norm" = the Perez-paper larger-|grad|^2 variant.
     """
     m = (mask_eroded.astype(jnp.float32) / 255.0)[None, :, :]
     gx_d, gy_d = gradient_x(dest_roi), gradient_y(dest_roi)
@@ -66,7 +70,10 @@ def guidance_field(
         gx_p, gy_p = gradient_x(patch), gradient_y(patch)
     elif flags == MIXED_CLONE:
         gx_p, gy_p = gradient_x(patch), gradient_y(patch)
-        take_d = (gx_p * gx_p + gy_p * gy_p) < (gx_d * gx_d + gy_d * gy_d)
+        if mixed_rule == "norm":
+            take_d = (gx_p * gx_p + gy_p * gy_p) < (gx_d * gx_d + gy_d * gy_d)
+        else:
+            take_d = jnp.abs(gx_p - gy_p) <= jnp.abs(gx_d - gy_d)
         gx_p = jnp.where(take_d, gx_d, gx_p)
         gy_p = jnp.where(take_d, gy_d, gy_p)
     elif flags == MONOCHROME_TRANSFER:

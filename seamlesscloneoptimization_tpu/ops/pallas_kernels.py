@@ -151,7 +151,7 @@ def rb_sweeps_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _pre_strip_kernel(dest_ref, patch_ref, mask_ref, out_ref, *, flags, th, h, w, wp):
+def _pre_strip_kernel(dest_ref, patch_ref, mask_ref, out_ref, *, flags, mixed_rule, th, h, w, wp):
     m = _M
     i = pl.program_id(1)
     rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
@@ -184,8 +184,11 @@ def _pre_strip_kernel(dest_ref, patch_ref, mask_ref, out_ref, *, flags, th, h, w
 
     gx_d, gy_d = gradx(d), grady(d)
     gx_p, gy_p = gradx(p), grady(p)
-    if flags == 2:  # MIXED_CLONE: keep the stronger gradient vector
-        take_d = (gx_p * gx_p + gy_p * gy_p) < (gx_d * gx_d + gy_d * gy_d)
+    if flags == 2:  # MIXED_CLONE (see ops/guidance.py for the rule variants)
+        if mixed_rule == "norm":
+            take_d = (gx_p * gx_p + gy_p * gy_p) < (gx_d * gx_d + gy_d * gy_d)
+        else:  # cv2 bit-parity: strict |gx_p - gy_p| > |gx_d - gy_d|
+            take_d = jnp.abs(gx_p - gy_p) <= jnp.abs(gx_d - gy_d)
         gx_p = jnp.where(take_d, gx_d, gx_p)
         gy_p = jnp.where(take_d, gy_d, gy_p)
     gx = (1.0 - me) * gx_d + me * gx_p
@@ -203,6 +206,7 @@ def preprocess_rhs_pallas(
     patch: jnp.ndarray,
     mask_roi: jnp.ndarray,
     flags: int = 1,
+    mixed_rule: str = "opencv",
     interpret: bool = False,
 ):
     """Fused RHS: (C,H,W) f32 dest/patch + (H,W) u8 mask -> (C,H-2,W-2) f32.
@@ -223,7 +227,8 @@ def preprocess_rhs_pallas(
     mp = jnp.pad((mask_roi != 0).astype(jnp.float32), pad2)
 
     lap = pl.pallas_call(
-        partial(_pre_strip_kernel, flags=flags, th=th, h=h, w=w, wp=wp),
+        partial(_pre_strip_kernel, flags=flags, mixed_rule=mixed_rule,
+                th=th, h=h, w=w, wp=wp),
         grid=(c, hp // th),
         in_specs=[
             _halo_spec(th, wp),

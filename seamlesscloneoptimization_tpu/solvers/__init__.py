@@ -24,19 +24,25 @@ from seamlesscloneoptimization_tpu.solvers.dst_fft import solve_dst_fft
 from seamlesscloneoptimization_tpu.solvers.jacobi import solve_redblack, redblack_sweep
 from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 
-def solve_auto(g, precision: str = "highest", tol: float = 1e-4, **_ignored):
-    """Size-based solver selection (static under jit: shapes are traced-time).
+# Direct DST-GEMM is O(N^1.5) FLOPs on the MXU; multigrid is O(N). The
+# measured v5e crossover sits above 24 MP interiors (docs/PERF.md: 8K =
+# 31.8 MP favors... see the "auto crossover" bench row), where the GEMM
+# eigenbasis matrices alone reach hundreds of MB.
+AUTO_CROSSOVER_PIXELS = 24_000_000
 
-    The DST-GEMM direct solve costs O(N^1.5) FLOPs on the MXU and wins up to
-    tens of megapixels; geometric multigrid is O(N) and takes over beyond
-    ~24 MP interiors (where the eigenbasis matrices alone reach hundreds of
-    MB). The crossover constant comes from the measured v5e numbers in
-    docs/PERF.md.
-    """
+
+def auto_solver_name(shape, crossover: int = AUTO_CROSSOVER_PIXELS) -> str:
+    """The size-based selection rule, exposed for tests/introspection."""
+    _, h, w = shape
+    return "multigrid" if h * w > crossover else "dst_gemm"
+
+
+def solve_auto(g, precision: str = "highest", tol: float = 1e-4,
+               crossover: int = AUTO_CROSSOVER_PIXELS, **_ignored):
+    """Size-based solver selection (static under jit: shapes are trace-time)."""
     import jax
 
-    _, h, w = g.shape
-    if h * w > 24_000_000:
+    if auto_solver_name(g.shape, crossover) == "multigrid":
         return solve_multigrid(g, tol=tol,
                                use_pallas=jax.default_backend() == "tpu")
     return solve_dst_gemm(g, precision=precision)

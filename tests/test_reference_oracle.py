@@ -68,19 +68,17 @@ class TestOtherModes:
         assert m <= 1, f"diff max {m}"
         assert s <= 2000, f"diff sum {s}"
 
-    def test_mixed_close(self, airplane, sky, irregular_mask):
-        # Newer OpenCV changed MIXED_CLONE internals; we implement the
-        # documented 3.4.5 semantics and hold a PSNR-level bar vs cv2.
+    def test_mixed_bitclose(self, airplane, sky, irregular_mask):
+        # Pinned to the installed cv2's actual MIXED rule (the strict
+        # component-difference comparison, see guidance_field): bit-close.
         golden = cv2.seamlessClone(
             airplane, sky, irregular_mask.copy(), (700, 300), cv2.MIXED_CLONE
         )
         mine = R.seamless_clone_np(
             airplane, sky, irregular_mask.copy(), (700, 300), flags=R.MIXED_CLONE
         )
-        d = cv2.absdiff(golden, mine).astype(np.float64)
-        mse = (d**2).mean()
-        psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
-        assert psnr > 35.0, f"PSNR {psnr:.1f} dB"
+        s, m = diff_stats(golden, mine)
+        assert m <= 1, f"diff max {m}"
 
 
 class TestStages:

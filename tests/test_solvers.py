@@ -145,6 +145,29 @@ class TestAutoSolver:
         exact = solve_dst_gemm(g)
         assert float(jnp.abs(u - exact).max()) == 0.0  # same code path
 
+    def test_auto_multigrid_branch(self):
+        """The >crossover branch routes to multigrid and converges to the
+        direct answer (crossover lowered so the branch runs at test size)."""
+        from seamlesscloneoptimization_tpu.solvers import solve_auto
+
+        g = _rand_g(64, 96, seed=12)
+        u = solve_auto(g, tol=1e-7, crossover=1000)
+        exact = solve_dst_gemm(g)
+        scale = float(jnp.abs(exact).max())
+        assert float(jnp.abs(u - exact).max()) / scale < 1e-4
+
+    def test_auto_selection_rule(self):
+        from seamlesscloneoptimization_tpu.solvers import (
+            AUTO_CROSSOVER_PIXELS,
+            auto_solver_name,
+        )
+
+        assert auto_solver_name((3, 1550, 2398)) == "dst_gemm"  # 3.7 MP
+        assert auto_solver_name((3, 4318, 7678)) == "multigrid"  # 33 MP (8K)
+        assert auto_solver_name((3, 4000, 6000)) == "dst_gemm"  # exactly 24.0 MP
+        assert auto_solver_name((3, 4000, 6001)) == "multigrid"  # just past it
+        assert AUTO_CROSSOVER_PIXELS == 24_000_000  # pinned by docs/PERF.md
+
     def test_auto_via_engine(self):
         import cv2
 
