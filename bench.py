@@ -82,7 +82,8 @@ def main():
     is_default_size = size_tag == "2400x1552"
 
     eng = SeamlessClone(CloneConfig(solver=solver, tol=2e-4, donate_dst=True, precision="high",
-                                    use_pallas_preprocess=True, use_pallas_postprocess=True))
+                                    use_pallas_preprocess=True, use_pallas_postprocess=True,
+                                    use_pallas_smoother=True))
     _, serve_ms = eng.timed_serve(src, dst, mask, center, loops=loops)
 
     # one per-call e2e sample including host->device uploads (reference
