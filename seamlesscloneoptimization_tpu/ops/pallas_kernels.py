@@ -147,6 +147,206 @@ def rb_sweeps_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Fused multigrid level stages: sweeps+residual+row-restrict / row-prolong+
+# correct+sweeps. One HBM round-trip per half-level instead of ~6 XLA passes.
+# ---------------------------------------------------------------------------
+#
+# Mosaic cannot lower lane-direction (last axis) stride-2 decimation or
+# interleave, but handles both on the SUBLANE (row) axis via reshape-to-pairs
+# and stack+reshape. So the separable transfer operators are split: the row
+# half runs fused inside these kernels at full width, and the lane half runs
+# in XLA on the HALF-HEIGHT intermediate (solvers/multigrid.py), where its
+# relayout copies cost half as much. The TPU counterpart of the reference's
+# kernel-merging campaign applied to the V-cycle (PDF §2.1.8-§2.1.11).
+
+
+def _level_ops(rows, cols, h, w, bh, bw):
+    """(nsum, inv_diag, diag) of the level operator inside a strip kernel.
+
+    bh/bw are the level's boundary-gap parameters (solvers/multigrid.py
+    _coarsen): Shortley-Weller coefficients on the last row/col when != 1,
+    the plain 5-point stencil (all constants, zero overhead) when == 1.
+    """
+    if bh == 1.0 and bw == 1.0:
+        def nsum(x):
+            xp = jnp.pad(x, ((1, 1), (1, 1)))
+            return xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:]
+        return nsum, 0.25, 4.0
+    lrow = jnp.where(rows == h - 1, jnp.float32(2.0 / (1.0 + bh) - 1.0), 0.0)
+    lcol = jnp.where(cols == w - 1, jnp.float32(2.0 / (1.0 + bw) - 1.0), 0.0)
+    diag = (jnp.where(rows == h - 1, jnp.float32(2.0 / bh), jnp.float32(2.0))
+            + jnp.where(cols == w - 1, jnp.float32(2.0 / bw), jnp.float32(2.0)))
+
+    def nsum(x):
+        xp = jnp.pad(x, ((1, 1), (1, 1)))
+        up_ = xp[:-2, 1:-1]
+        lf = xp[1:-1, :-2]
+        return up_ + xp[2:, 1:-1] + lf + xp[1:-1, 2:] + lrow * up_ + lcol * lf
+
+    return nsum, 1.0 / diag, diag
+
+
+def _mg_down_kernel(u_ref, g_ref, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
+                    h_even, bh, bw):
+    """nu1 red-black sweeps + residual + row-direction full-weighting restrict."""
+    i = pl.program_id(1)
+    m = _M
+    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
+    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
+    red = jnp.where((rows + cols) % 2 == 0, in_dom, 0.0)
+    black = in_dom - red
+
+    g = g_ref[0] * in_dom
+    u = u_ref[0] * in_dom
+
+    nsum, inv_d, diag = _level_ops(rows, cols, h, w, bh, bw)
+    for _ in range(nu1):
+        u = u + red * ((nsum(u) - g) * inv_d - u)
+        u = u + black * ((nsum(u) - g) * inv_d - u)
+    uo_ref[0] = u[m : m + th, :]
+
+    # Residual is valid over the slab [m, m+th+2) for nu1 <= 2 (the staleness
+    # wavefront advances 2 rows per sweep from each window edge, +1 for the
+    # neighbor sum: 2*nu1+1 <= m on top, 2*nu1+1 <= m-1 below the owned strip).
+    r = (g - (nsum(u) - diag * u)) * in_dom
+    s = r[m : m + th + 2, :].reshape(th // 2 + 1, 2, wp)
+    a, b = s[:, 0, :], s[:, 1, :]  # fine rows i*th+2k / i*th+2k+1
+    nhc = th // 2
+    out = 0.25 * a[:nhc] + 0.5 * b[:nhc] + 0.25 * a[1 : nhc + 1]
+    if h_even:
+        # last coarse row gets (1/4, 1/2, wA/2, wB/2) weights, the transpose
+        # of the bh-gap edge prolongation (for bh=1: 1/4,1/2,1/3,1/6); the
+        # bulk already holds 1/4 of fine h-2, top up to wA/2 and add wB/2.
+        gap = 2.0 + bh
+        edge = (out + ((1.0 + bh) / gap * 0.5 - 0.25) * a[1 : nhc + 1]
+                + (bh / gap * 0.5) * b[1 : nhc + 1])
+        jc = i * nhc + jax.lax.broadcasted_iota(jnp.int32, (nhc, wp), 0)
+        out = jnp.where(jc == hc - 1, edge, out)
+    rh_ref[0] = out
+
+
+@partial(jax.jit, static_argnames=("nu1", "bh", "bw", "interpret"))
+def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
+                   bh: float = 1.0, bw: float = 1.0, interpret: bool = False):
+    """Fused V-cycle descent: nu1 sweeps + residual + row-restrict, one pass.
+
+    (C, H, W) f32 -> (swept u (C, H, W), row-restricted residual
+    (C, (H-1)//2, W)). The caller applies the lane-direction restriction
+    (multigrid._restrict_axis) and the 4x coarse-RHS scaling on the
+    half-height output. nu1 must be <= 2 (ghost-band staleness budget).
+    """
+    assert 0 <= nu1 <= 2, nu1
+    c, h, w = u.shape
+    wp = _round_up(w, 128)
+    th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
+    hp = _round_up(h, th)
+    pad = ((0, 0), (_M, hp - h + _M), (0, wp - w))
+    up = jnp.pad(u, pad)
+    gp = jnp.pad(g, pad)
+    hc = (h - 1) // 2
+    u_out, rh = pl.pallas_call(
+        partial(_mg_down_kernel, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
+                h_even=(h % 2 == 0), bh=bh, bw=bw),
+        grid=(c, hp // th),
+        in_specs=[_halo_spec(th, wp), _halo_spec(th, wp)],
+        out_specs=[
+            pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
+            pl.BlockSpec((1, th // 2, wp), lambda ci, i: (ci, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((c, hp // 2, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(up, gp)
+    return u_out[:, :h, :w], rh[:, :hc, :w]
+
+
+def _mg_up_kernel(u_ref, g_ref, e_ref, uo_ref, *, nu2, th, h, w, wp, h_even,
+                  bh, bw):
+    """Row-direction bilinear prolong + correction add + nu2 sweeps."""
+    i = pl.program_id(1)
+    m = _M
+    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
+    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
+    red = jnp.where((rows + cols) % 2 == 0, in_dom, 0.0)
+    black = in_dom - red
+
+    g = g_ref[0] * in_dom
+    u = u_ref[0] * in_dom
+
+    # e window row j = coarse row i*th/2 - m + j (zero-padded outside the
+    # coarse grid). Fine window row t pairs with coarse q = i*th/2 - m/2 + p,
+    # p = t//2, so e_loc[q] = ec[p + m/2]: fine 2q <- mids, fine 2q+1 <- e[q].
+    ec = e_ref[0]
+    nh = th // 2 + m
+    j0 = m // 2
+    mids = 0.5 * (ec[j0 - 1 : j0 - 1 + nh, :] + ec[j0 : j0 + nh, :])
+    odd = ec[j0 : j0 + nh, :]
+    corr = jnp.stack([mids, odd], axis=1).reshape(th + 2 * m, wp)
+    if h_even:
+        # fine rows h-2 / h-1 take (wA, wB) of the last coarse row, the
+        # linear interpolation over the bh-gap (bh=1: 2/3, 1/3). The bulk
+        # interleave put 1/2 of it at h-2 (mids with zero pad) and 0 at h-1,
+        # so rescale h-2 by 2*wA and take 2*wB of the mids plane at h-1.
+        gap = 2.0 + bh
+        alt = jnp.stack([mids, mids], axis=1).reshape(th + 2 * m, wp)
+        corr = jnp.where(rows == h - 2, corr * (2.0 * (1.0 + bh) / gap), corr)
+        corr = jnp.where(rows == h - 1, alt * (2.0 * bh / gap), corr)
+    u = u + corr * in_dom
+
+    nsum, inv_d, _ = _level_ops(rows, cols, h, w, bh, bw)
+    for _ in range(nu2):
+        u = u + red * ((nsum(u) - g) * inv_d - u)
+        u = u + black * ((nsum(u) - g) * inv_d - u)
+    uo_ref[0] = u[m : m + th, :]
+
+
+def _coarse_halo_spec(thc: int, wp: int):
+    """Overlapping (1, thc+2M, wp) coarse window, M rows above the strip."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(thc + 2 * _M), pl.Element(wp)),
+        lambda c, i: (c, pl.multiple_of(i * thc, 8), 0),
+    )
+
+
+@partial(jax.jit, static_argnames=("nu2", "bh", "bw", "interpret"))
+def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
+                 nu2: int = 2, bh: float = 1.0, bw: float = 1.0,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Fused V-cycle ascent: row-prolong of the lane-prolonged coarse
+    correction + add + nu2 sweeps, one pass.
+
+    e_lane: (C, (H-1)//2, W) — the coarse correction already prolonged along
+    the lane axis by multigrid._prolong_axis. nu2 <= 4.
+    """
+    assert 0 <= nu2 <= 4, nu2
+    c, h, w = u.shape
+    hc = (h - 1) // 2
+    assert e_lane.shape == (c, hc, w), (e_lane.shape, u.shape)
+    wp = _round_up(w, 128)
+    th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
+    hp = _round_up(h, th)
+    pad = ((0, 0), (_M, hp - h + _M), (0, wp - w))
+    up = jnp.pad(u, pad)
+    gp = jnp.pad(g, pad)
+    ep = jnp.pad(e_lane, ((0, 0), (_M, hp // 2 + _M - hc), (0, wp - w)))
+    out = pl.pallas_call(
+        partial(_mg_up_kernel, nu2=nu2, th=th, h=h, w=w, wp=wp,
+                h_even=(h % 2 == 0), bh=bh, bw=bw),
+        grid=(c, hp // th),
+        in_specs=[_halo_spec(th, wp), _halo_spec(th, wp),
+                  _coarse_halo_spec(th // 2, wp)],
+        out_specs=pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(up, gp, ep)
+    return out[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
 # Strip-tiled fused pre-processing: erode x3 + guidance + divergence
 # ---------------------------------------------------------------------------
 

@@ -45,6 +45,63 @@ def dst_eigenvalues(n: int):
     return (2.0 * (np.cos(k * np.pi / (n + 1)) - 1.0)).astype(np.float32)
 
 
+@lru_cache(maxsize=64)
+def beta_eigenbasis(n: int, beta: float):
+    """Eigenbasis of the 1-D Dirichlet tridiagonal with a short last gap.
+
+    The multigrid coarse hierarchy (solvers/multigrid.py) discretizes each
+    axis with uniform spacing except the RIGHT boundary, which sits at
+    ``beta * h`` beyond the last point (Shortley-Weller): row n-1 has
+    left-coefficient ``2/(1+beta)`` and diagonal ``-2/beta`` instead of
+    (1, -2). That matrix T is nonsymmetric in one row but similar to a
+    symmetric tridiagonal via a diagonal scaling (positive off-diagonal
+    products), so its eigenvalues are real and the eigh of the symmetrized
+    form is numerically exact. Host f64, cached like dst_matrix.
+
+    Returns (lam (n,), V (n, n), Vi (n, n)) f32 with T = V diag(lam) Vi.
+    """
+    if beta == 1.0:
+        v = dst_matrix(n).astype(np.float64)
+        lam = dst_eigenvalues(n).astype(np.float64)
+        return (lam.astype(np.float32), v.astype(np.float32), v.astype(np.float32))
+    a_last = 2.0 / (1.0 + beta)  # sub-diagonal entry in the last row
+    d = np.full(n, -2.0)
+    d[-1] = -2.0 / beta
+    # Similarity D T D^-1 with delta_i = 1 except delta_{n-1} = sqrt((1+beta)/2)
+    # makes the off-diagonal sqrt(a_last) symmetric.
+    off = np.ones(n - 1)
+    off[-1] = np.sqrt(a_last)
+    s = np.diag(d) + np.diag(off, 1) + np.diag(off, -1)
+    lam, q = np.linalg.eigh(s)
+    delta = np.ones(n)
+    delta[-1] = np.sqrt((1.0 + beta) / 2.0)
+    v = q / delta[:, None]       # V = D^-1 Q
+    vi = q.T * delta[None, :]    # V^-1 = Q^T D
+    return (lam.astype(np.float32), v.astype(np.float32), vi.astype(np.float32))
+
+
+@partial(jax.jit, static_argnames=("bh", "bw", "precision"))
+def solve_sep_eig(g: jnp.ndarray, bh: float = 1.0, bw: float = 1.0,
+                  precision: str = "highest") -> jnp.ndarray:
+    """Exact solve of the beta-modified separable Poisson operator.
+
+    A = Th (x) I + I (x) Tw with Th/Tw from beta_eigenbasis. Solves
+    ``Th U + U Tw^T = G`` per channel as
+    ``U = Vh ((Vh^-1 G Vw^-T) / (lam_h_i + lam_w_j)) Vw^T`` — the same
+    4-GEMM MXU shape as solve_dst_gemm, used for multigrid's coarsest level
+    where the boundary-consistent hierarchy has beta != 1.
+    """
+    if bh == 1.0 and bw == 1.0:
+        return solve_dst_gemm(g, precision=precision)
+    prec = _PRECISIONS[precision]
+    _, h, w = g.shape
+    lh, vh, vhi = (jnp.asarray(x) for x in beta_eigenbasis(h, round(bh, 9)))
+    lw, vw, vwi = (jnp.asarray(x) for x in beta_eigenbasis(w, round(bw, 9)))
+    x = _mm(_mm_left(vhi, g, prec), vwi.T, prec)
+    x = x / (lh[:, None] + lw[None, :])
+    return _mm(_mm_left(vh, x, prec), vw.T, prec)
+
+
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,  # f32 accumulation (bf16_6x on MXU)
     "high": jax.lax.Precision.HIGH,  # bf16_3x: ~2.2x faster on v5e

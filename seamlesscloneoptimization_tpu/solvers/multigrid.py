@@ -5,23 +5,31 @@ direct-solver only): O(N) per digit of accuracy, built from shift/elementwise
 stencils that XLA fuses per level, and whose smoothing sweeps tile across a
 device mesh with halo exchange (see parallel/tiled.py).
 
-Scheme (vertex-centered, unscaled operators):
-- smoother: red-black Gauss-Seidel (solvers/jacobi.py)
+Scheme (vertex-centered, unscaled operators, boundary-consistent hierarchy):
+- smoother: red-black Gauss-Seidel (solvers/jacobi.py; beta-aware variant
+  _sweeps_b on coarse levels)
 - restriction: separable full-weighting (1/4, 1/2, 1/4 per axis) at fine
-  points (2i+1, 2j+1); coarse size (n-1)//2. For even n the last two fine
-  lines get dedicated (2/3, 1/3) linear-to-boundary weights in both
-  transfers so every fine line receives coarse correction. The coarse RHS
-  is scaled by 4 (A_h ~ h^2 * Laplacian, so the 2h-grid equation needs 4x
-  the restricted residual).
+  points (2i+1, 2j+1); coarse size (n-1)//2. The coarse RHS is scaled by 4
+  (A_h ~ h^2 * Laplacian, so the 2h-grid equation needs 4x the restricted
+  residual).
 - prolongation: bilinear, separable, zero outside the coarse grid
   (the exact transpose of restriction up to the factor 4).
-- coarsest level (min dim <= coarsest): EXACT direct solve in the DST
-  eigenbasis (solvers/dst_gemm.py) — a handful of tiny MXU matmuls, far
-  cheaper and tighter than smoothing the coarsest grid.
+- EVEN sizes: every level tracks its boundary-gap parameter beta per axis
+  (_coarsen): the right/bottom wall sits beta*h beyond the last line. The
+  coarse operator uses Shortley-Weller last-line coefficients consistent
+  with that geometry, and the edge transfer weights are the linear
+  interpolation over the beta gap ((2/3, 1/3) at beta=1). This is what
+  makes contraction ~0.11/cycle at EVERY size — with a uniform-stencil
+  hierarchy, even sizes degraded to 0.52/cycle.
+- coarsest level (min dim <= coarsest): EXACT direct solve in the
+  (beta-modified) separable eigenbasis (solvers/dst_gemm.py:solve_sep_eig;
+  plain DST when beta==1) — a handful of tiny MXU matmuls, far cheaper and
+  tighter than smoothing the coarsest grid.
 
-Arbitrary sizes are supported with textbook V(2,2) contraction (~0.1/cycle);
-correctness comes from the residual stopping rule, matching the exact DST
-solvers to the requested tolerance.
+Correctness at the FINEST level is untouched by all of this: the true
+5-point operator defines the residual and the stopping rule, so the result
+matches the exact DST solvers to the requested tolerance; the beta
+machinery only shapes coarse corrections.
 
 The level hierarchy is built at trace time (static shapes per level), so the
 whole solve is one jit-compiled while_loop — no host round-trips.
@@ -34,11 +42,27 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from seamlesscloneoptimization_tpu.solvers.dst_gemm import solve_dst_gemm
+from seamlesscloneoptimization_tpu.solvers.dst_gemm import solve_dst_gemm, solve_sep_eig
 from seamlesscloneoptimization_tpu.solvers.jacobi import redblack_sweep, residual
 
 
-def _restrict_axis(r: jnp.ndarray) -> jnp.ndarray:
+def _coarsen(m: int, beta: float) -> tuple[int, float]:
+    """Coarse size and boundary-gap parameter for one axis.
+
+    Each level's right/bottom boundary sits ``beta * h`` beyond its last
+    line (beta = 1 on the finest). Coarse points are the odd fine indices,
+    mc = (m-1)//2, so the coarse gap is (m - 2*mc + beta)/2 coarse spacings:
+    odd m -> (1+beta)/2, even m -> 1 + beta/2. Keeping the coarse operator,
+    smoother and transfers consistent with this geometry (Shortley-Weller
+    last-line coefficients) is what restores textbook ~0.1/cycle contraction
+    on arbitrary even sizes — measured 0.52/cycle at 3x1550x2398 with the
+    uniform-stencil hierarchy vs 0.11 with this one.
+    """
+    mc = (m - 1) // 2
+    return mc, (m - 2 * mc + beta) / 2.0
+
+
+def _restrict_axis(r: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
     """1-D full-weighting along the last axis: (..., n) -> (..., (n-1)//2).
 
     out[j] = 1/4 r[2j] + 1/2 r[2j+1] + 1/4 r[2j+2] — the transpose of
@@ -53,34 +77,66 @@ def _restrict_axis(r: jnp.ndarray) -> jnp.ndarray:
     """
     n = r.shape[-1]
     nc = (n - 1) // 2
-    out = (
-        0.25 * r[..., 0 : 2 * nc - 1 : 2]
-        + 0.5 * r[..., 1 : 2 * nc : 2]
-        + 0.25 * r[..., 2 : 2 * nc + 1 : 2]
-    )
+    # Stride-2 decimation expressed as reshape-to-pairs: XLA lowers a
+    # stride-2 slice on the LANE axis by transposing the whole array per
+    # channel (async slice+copy chains — ~2.9 ms of a 7.2 ms V-cycle at
+    # 3x1550x2398), whereas the (n/2, 2) reshape is one T(2,128) relayout
+    # copy like the prolong interleave. A (= r[2j]) and B (= r[2j+1]) then
+    # make the stencil pure elementwise work.
+    m = 2 * nc + 2
+    rp = jnp.pad(r, [(0, 0)] * (r.ndim - 1) + [(0, m - n)]) if m != n else r
+    pairs = rp.reshape(r.shape[:-1] + (nc + 1, 2))
+    a, b = pairs[..., 0], pairs[..., 1]
+    out = 0.25 * a[..., :nc] + 0.5 * b[..., :nc] + 0.25 * a[..., 1 : nc + 1]
     if n % 2 == 0:
+        gap = 2.0 + beta
         edge = (
-            0.25 * r[..., n - 4]
-            + 0.5 * r[..., n - 3]
-            + (1.0 / 3.0) * r[..., n - 2]
-            + (1.0 / 6.0) * r[..., n - 1]
+            0.25 * a[..., nc - 1]
+            + 0.5 * b[..., nc - 1]
+            + ((1.0 + beta) / gap * 0.5) * a[..., nc]
+            + (beta / gap * 0.5) * b[..., nc]
         )
         out = jnp.concatenate([out[..., : nc - 1], edge[..., None]], axis=-1)
     return out
 
 
-def restrict_fw(r: jnp.ndarray) -> jnp.ndarray:
+def _restrict_rows(r: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    """Same 1-D full-weighting applied along axis -2 (no transpose).
+
+    XProf showed the ``swapaxes`` formulation lowering to per-channel
+    async slice+copy chains that dominated the V-cycle (~2.9 ms of a
+    7.2 ms cycle at 3x1550x2398); strided slices along the sublane axis
+    fuse into the surrounding elementwise work instead.
+    """
+    n = r.shape[-2]
+    nc = (n - 1) // 2
+    out = (
+        0.25 * r[..., 0 : 2 * nc - 1 : 2, :]
+        + 0.5 * r[..., 1 : 2 * nc : 2, :]
+        + 0.25 * r[..., 2 : 2 * nc + 1 : 2, :]
+    )
+    if n % 2 == 0:
+        gap = 2.0 + beta
+        edge = (
+            0.25 * r[..., n - 4, :]
+            + 0.5 * r[..., n - 3, :]
+            + ((1.0 + beta) / gap * 0.5) * r[..., n - 2, :]
+            + (beta / gap * 0.5) * r[..., n - 1, :]
+        )
+        out = jnp.concatenate([out[..., : nc - 1, :], edge[..., None, :]], axis=-2)
+    return out
+
+
+def restrict_fw(r: jnp.ndarray, bh: float = 1.0, bw: float = 1.0) -> jnp.ndarray:
     """Full-weighting restriction (C, h, w) -> (C, (h-1)//2, (w-1)//2).
 
     Separable tensor product of the 1-D rows; exactly (1/4) x the transpose
     of prolong_bilinear, including the even-size edge rows.
     """
-    r = _restrict_axis(r)
-    r = _restrict_axis(jnp.swapaxes(r, -1, -2))
-    return jnp.swapaxes(r, -1, -2)
+    return _restrict_rows(_restrict_axis(r, bw), bh)
 
 
-def _prolong_axis(e: jnp.ndarray, n: int) -> jnp.ndarray:
+def _prolong_axis(e: jnp.ndarray, n: int, beta: float = 1.0) -> jnp.ndarray:
     """Bilinear prolongation along the last axis: (..., nc) -> (..., n).
 
     Scatter-free: even/odd fine lines are interleaved with one
@@ -102,17 +158,92 @@ def _prolong_axis(e: jnp.ndarray, n: int) -> jnp.ndarray:
     # gives the last two fine lines 2/3 and 1/3 of the last coarse value.
     # (Without this the line n-1 gets no coarse correction and the V-cycle
     # contraction degrades from ~0.1 to smoothing-only ~0.27.)
+    gap = 2.0 + beta
     last = e[..., nc - 1 :]
     return jnp.concatenate(
-        [pairs[..., : n - 2], last * (2.0 / 3.0), last * (1.0 / 3.0)], axis=-1
+        [pairs[..., : n - 2], last * ((1.0 + beta) / gap), last * (beta / gap)],
+        axis=-1,
     )
 
 
-def prolong_bilinear(e: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Bilinear prolongation (C, hc, wc) -> (C, h, w), separable."""
-    e = _prolong_axis(e, w)
-    e = _prolong_axis(jnp.swapaxes(e, -1, -2), h)
-    return jnp.swapaxes(e, -1, -2)
+def _prolong_rows(e: jnp.ndarray, n: int, beta: float = 1.0) -> jnp.ndarray:
+    """Bilinear prolongation along axis -2: (..., nc, w) -> (..., n, w).
+
+    Transpose-free for the same reason as _restrict_rows: the row
+    interleave is a stack+reshape on the sublane axis, which XLA lowers
+    as a cheap layout change instead of per-channel transpose copies.
+    """
+    nc = e.shape[-2]
+    ep = jnp.pad(e, [(0, 0)] * (e.ndim - 2) + [(1, 1), (0, 0)])
+    mids = 0.5 * (ep[..., : nc + 1, :] + ep[..., 1 : nc + 2, :])
+    pairs = jnp.stack([mids[..., :nc, :], e], axis=-2).reshape(
+        e.shape[:-2] + (2 * nc,) + e.shape[-1:]
+    )
+    if n % 2 == 1:
+        return jnp.concatenate([pairs, mids[..., nc:, :]], axis=-2)
+    gap = 2.0 + beta
+    last = e[..., nc - 1 :, :]
+    return jnp.concatenate(
+        [pairs[..., : n - 2, :], last * ((1.0 + beta) / gap), last * (beta / gap)],
+        axis=-2,
+    )
+
+
+def prolong_bilinear(e: jnp.ndarray, h: int, w: int,
+                     bh: float = 1.0, bw: float = 1.0) -> jnp.ndarray:
+    """Bilinear prolongation (C, hc, wc) -> (C, h, w), separable.
+
+    Columns first, then rows — the same evaluation order as restrict_fw's
+    transpose, keeping the transfer pair bit-exact adjoints.
+    """
+    return _prolong_rows(_prolong_axis(e, w, bw), h, bh)
+
+
+def _ops_b(h, w, bh, bw):
+    """Neighbor-sum and inverse diagonal of a beta-level operator (XLA path).
+
+    Standard 5-point everywhere except the last row/col: Shortley-Weller
+    coefficients for the short boundary gap (up/left-neighbor 2/(1+beta),
+    per-axis diagonal -2/beta). beta = 1 reduces to the uniform stencil.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    dh = jnp.where(rows == h - 1, jnp.float32(2.0 / bh), jnp.float32(2.0))
+    dw = jnp.where(cols == w - 1, jnp.float32(2.0 / bw), jnp.float32(2.0))
+    inv_d = (1.0 / (dh + dw))[None]
+    cuh = 2.0 / (1.0 + bh) - 1.0
+    cuw = 2.0 / (1.0 + bw) - 1.0
+    lrow = (rows == h - 1).astype(jnp.float32)[None] * cuh
+    lcol = (cols == w - 1).astype(jnp.float32)[None] * cuw
+
+    def nsum(x):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
+        up_, dn = xp[:, :-2, 1:-1], xp[:, 2:, 1:-1]
+        lf, rt = xp[:, 1:-1, :-2], xp[:, 1:-1, 2:]
+        return up_ + dn + lf + rt + lrow * up_ + lcol * lf
+
+    return nsum, inv_d
+
+
+def _sweeps_b(u, g, n, bh, bw):
+    """n red-black sweeps of the beta-level operator (small coarse grids)."""
+    _, h, w = u.shape
+    nsum, inv_d = _ops_b(h, w, bh, bw)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    red = (((rows + cols) % 2) == 0).astype(jnp.float32)[None]
+    black = 1.0 - red
+    for _ in range(n):
+        u = u + red * ((nsum(u) - g) * inv_d - u)
+        u = u + black * ((nsum(u) - g) * inv_d - u)
+    return u
+
+
+def _residual_b(u, g, bh, bw):
+    """g - A_beta u for the beta-level operator."""
+    _, h, w = u.shape
+    nsum, inv_d = _ops_b(h, w, bh, bw)
+    return g - (nsum(u) - u / inv_d)
 
 
 def _sweeps(u, g, n, use_pallas=False):
@@ -129,23 +260,61 @@ def _sweeps(u, g, n, use_pallas=False):
     return u
 
 
+def _fused_level(h: int, w: int, nu1: int, nu2: int, use_pallas, interpret: bool) -> bool:
+    """Whether this level runs as the two fused Pallas stage kernels."""
+    if not use_pallas or h * w < 1 << 18 or nu1 > 2 or nu2 > 4:
+        return False
+    return interpret or jax.default_backend() == "tpu"
+
+
 def vcycle(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 63,
-           use_pallas: bool = False) -> jnp.ndarray:
-    """One V-cycle; recursion unrolls at trace time over static level shapes."""
+           use_pallas: bool = False, interpret: bool = False,
+           bh: float = 1.0, bw: float = 1.0) -> jnp.ndarray:
+    """One V-cycle; recursion unrolls at trace time over static level shapes.
+
+    With ``use_pallas`` each large level runs as TWO fused Pallas launches
+    (ops/pallas_kernels.py: mg_down_pallas = sweeps+residual+row-restrict,
+    mg_up_pallas = row-prolong+correct+sweeps); only the lane-direction halves
+    of the separable transfers remain in XLA, on half-height arrays. This cut
+    the measured V(1,2) cycle at 3x1550x2398 from ~3.9 ms (Pallas sweeps, XLA
+    transfers) to the fused figure in docs/PERF.md. ``interpret`` runs the
+    same fused path through the Pallas interpreter for CPU tests.
+    """
     _, h, w = u.shape
     if min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1:
-        # Exact coarse solve: tiny DST-basis MXU matmuls beat any smoothing.
-        return solve_dst_gemm(g)
-    u = _sweeps(u, g, nu1, use_pallas)
-    r = residual(u, g)
-    rc = 4.0 * restrict_fw(r)
-    ec = vcycle(jnp.zeros_like(rc), rc, nu1, nu2, coarsest, use_pallas)
-    u = u + prolong_bilinear(ec, h, w)
-    return _sweeps(u, g, nu2, use_pallas)
+        # Exact coarse solve: tiny MXU matmuls in the (beta-)eigenbasis beat
+        # any amount of smoothing (solvers/dst_gemm.py:solve_sep_eig).
+        return solve_sep_eig(g, round(bh, 9), round(bw, 9))
+    hc, bh_c = _coarsen(h, bh)
+    wc, bw_c = _coarsen(w, bw)
+    if _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            mg_down_pallas, mg_up_pallas)
+
+        u, rh = mg_down_pallas(u, g, nu1, bh=bh, bw=bw, interpret=interpret)
+        rc = 4.0 * _restrict_axis(rh, bw)
+        ec = vcycle(jnp.zeros_like(rc), rc, nu1, nu2, coarsest, use_pallas,
+                    interpret, bh_c, bw_c)
+        return mg_up_pallas(u, g, _prolong_axis(ec, w, bw), nu2, bh=bh, bw=bw,
+                            interpret=interpret)
+    if bh == 1.0 and bw == 1.0:
+        u = _sweeps(u, g, nu1, use_pallas)
+        r = residual(u, g)
+    else:
+        u = _sweeps_b(u, g, nu1, bh, bw)
+        r = _residual_b(u, g, bh, bw)
+    rc = 4.0 * restrict_fw(r, bh, bw)
+    ec = vcycle(jnp.zeros_like(rc), rc, nu1, nu2, coarsest, use_pallas,
+                interpret, bh_c, bw_c)
+    u = u + prolong_bilinear(ec, h, w, bh, bw)
+    if bh == 1.0 and bw == 1.0:
+        return _sweeps(u, g, nu2, use_pallas)
+    return _sweeps_b(u, g, nu2, bh, bw)
 
 
 def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 63,
-        use_pallas: bool = False) -> jnp.ndarray:
+        use_pallas: bool = False, interpret: bool = False,
+        bh: float = 1.0, bw: float = 1.0) -> jnp.ndarray:
     """Full multigrid: coarse-to-fine cascade giving a near-converged start.
 
     Restrict the RHS down the hierarchy (same 4x scaling as the residual
@@ -157,15 +326,18 @@ def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 63,
     """
     _, h, w = g.shape
     if min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1:
-        return solve_dst_gemm(g)
-    gc = 4.0 * restrict_fw(g)
-    uc = fmg(gc, nu1, nu2, coarsest, use_pallas)
-    u = prolong_bilinear(uc, h, w)
-    return vcycle(u, g, nu1, nu2, coarsest, use_pallas)
+        return solve_sep_eig(g, round(bh, 9), round(bw, 9))
+    hc, bh_c = _coarsen(h, bh)
+    wc, bw_c = _coarsen(w, bw)
+    gc = 4.0 * restrict_fw(g, bh, bw)
+    uc = fmg(gc, nu1, nu2, coarsest, use_pallas, interpret, bh_c, bw_c)
+    u = prolong_bilinear(uc, h, w, bh, bw)
+    return vcycle(u, g, nu1, nu2, coarsest, use_pallas, interpret, bh, bw)
 
 
 @partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2", "return_info",
-                                   "use_pallas", "cycles", "pcg"))
+                                   "use_pallas", "cycles", "pcg", "interpret",
+                                   "coarsest", "fmg_start"))
 def solve_multigrid(
     g: jnp.ndarray,
     u0: jnp.ndarray | None = None,
@@ -176,30 +348,47 @@ def solve_multigrid(
     return_info: bool = False,
     use_pallas: bool = False,
     cycles: int | None = None,
-    pcg: bool = True,
+    pcg: bool = False,
+    interpret: bool = False,
+    coarsest: int = 63,
+    fmg_start: bool = False,
 ):
-    """FMG start, then MG-preconditioned CG until ||r||_inf <= tol * ||g||_inf.
+    """V-cycle iteration until ||r||_inf <= tol * ||g||_inf.
 
-    The V-cycle's standalone contraction is limited to ~0.25-0.5 on
-    even-sized grids (the (2/3, 1/3) boundary transfers keep the scheme
-    stable but the uniform coarse operator misrepresents the 3h edge gap —
-    measured: 0.02-0.05 on 2^k-1 grids, 0.24 at 256^2, 0.52 at 1550x2398).
-    Wrapping it as the preconditioner of a flexible-CG iteration restores an
-    effective ~0.2/iteration at every size (measured 3-4 iterations to 2e-4
-    from an FMG start), at the cost of one extra operator apply and two dot
-    products per cycle. ``pcg=False`` recovers the plain V-cycle loop.
+    The boundary-consistent (Shortley-Weller) coarse hierarchy gives the
+    V-cycle textbook ~0.11/cycle contraction at EVERY size (see _coarsen;
+    before it, even-sized grids like 1550x2398 degraded to 0.52/cycle and
+    needed an MG-preconditioned-CG wrapper to converge usefully). From a
+    zero start, tol=2e-4 takes 4 cycles at any size tried (256^2 ..
+    1550x2398) — measured 13.8 ms at 3x1550x2398 on v5e with the fused
+    Pallas levels.
 
-    Default cycle shape is V(1,2): measured PCG iteration counts equal
-    V(2,2)'s at every size tried (256^2 .. 1550x2398) at 25% fewer sweeps.
+    Starts (cheapest first, measured at 3x1550x2398, tol=2e-4, v5e):
+    - zero start (default): 4 cycles, 13.8 ms — the V-cycle kills the
+      whole spectrum fast enough that a better start cannot pay for itself.
+    - ``fmg_start=True``: FMG cascade costs ~1.33 cycle-equivalents and
+      saves exactly one cycle (3 remain): 16.1 ms.
+    - ``pcg=True``: flexible-CG wrapped V-cycle preconditioner; same cycle
+      count as plain at higher per-iteration cost (operator apply + dots).
+      Kept for ill-conditioned RHS and as a cross-check.
 
-    ``cycles=k`` switches to FIXED-WORK mode: FMG + k unrolled cycles, no
-    residual checks or while_loop — measurably faster for serving where the
-    cycle count for a target quality is known. ``tol`` is ignored then.
+    Default cycle shape is V(1,2): same cycle counts as V(2,2) at 25%
+    fewer sweeps.
+
+    ``cycles=k`` switches to FIXED-WORK mode: k unrolled cycles, no
+    residual checks or while_loop — 11.2 ms for k=4 at 3x1550x2398
+    (verified rel. residual 1.1e-4 there; use for serving where the cycle
+    count for a target quality is known). ``tol`` is ignored then.
     """
-    u = fmg(g, nu1, nu2, use_pallas=use_pallas) if u0 is None else u0
+    if u0 is not None:
+        u = u0
+    elif fmg_start:
+        u = fmg(g, nu1, nu2, coarsest, use_pallas=use_pallas, interpret=interpret)
+    else:
+        u = jnp.zeros_like(g)
     if cycles is not None:
         for _ in range(cycles):
-            u = vcycle(u, g, nu1, nu2, use_pallas=use_pallas)
+            u = vcycle(u, g, nu1, nu2, coarsest, use_pallas=use_pallas, interpret=interpret)
         if return_info:
             return u, {"cycles": jnp.int32(cycles),
                        "residual": jnp.max(jnp.abs(residual(u, g)))}
@@ -213,7 +402,8 @@ def solve_multigrid(
                     + pp[:, 1:-1, :-2] + pp[:, 1:-1, 2:]) - 4.0 * p
 
         def precond(r):
-            return vcycle(jnp.zeros_like(r), r, nu1, nu2, use_pallas=use_pallas)
+            return vcycle(jnp.zeros_like(r), r, nu1, nu2, coarsest,
+                          use_pallas=use_pallas, interpret=interpret)
 
         r0 = residual(u, g)
         z0 = precond(r0)
@@ -245,7 +435,7 @@ def solve_multigrid(
 
     def body(state):
         u, it = state
-        return vcycle(u, g, nu1, nu2, use_pallas=use_pallas), it + 1
+        return vcycle(u, g, nu1, nu2, coarsest, use_pallas=use_pallas, interpret=interpret), it + 1
 
     u, it = jax.lax.while_loop(cond, body, (u, jnp.int32(0)))
     if return_info:
