@@ -46,6 +46,7 @@ def clone_roi(
     use_pallas_pre: bool = False,
     use_pallas_post: bool = False,
     mixed_rule: str = "opencv",
+    return_inset: bool = False,
 ):
     """Clone on a pre-cropped ROI. All planar (C, H, W) u8 / (H, W) u8 mask.
 
@@ -54,26 +55,57 @@ def clone_roi(
     strip kernel; ``use_pallas_post`` asks the solver for its transposed
     output and blends it with the layout-aware Pallas postprocess (dst_gemm
     only — the engine gates this). Both TPU only; XLA-fused otherwise.
-    Returns the blended (C, H, W) uint8 ROI.
+    Returns the blended (C, H, W) uint8 ROI — or, with ``return_inset=True``,
+    a ``(blended, inset)`` pair where the fast path may return just the
+    solved INTERIOR (inset 1): its border ring is identical to the
+    destination, so the caller can paste at (+inset, +inset) and skip the
+    dest-blend entirely.
     """
     solver_kwargs = solver_kwargs or {}
-    dest_f = dest_roi_u8.astype(jnp.float32)
-    patch_f = patch_u8.astype(jnp.float32)
     if not _pallas_backend_available():
         use_pallas_pre = False  # Pallas TPU kernels cannot lower elsewhere
         use_pallas_post = False
     if use_pallas_pre and not return_stages:
         from seamlesscloneoptimization_tpu.ops.guidance import bgr_to_gray_u8
-        from seamlesscloneoptimization_tpu.ops.pallas_kernels import preprocess_rhs_pallas
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            preprocess_rhs_pallas,
+            preprocess_rhs_transposed_pallas,
+        )
 
         if flags == 3:  # MONOCHROME_TRANSFER: gray patch gradients, per OpenCV
-            gray = bgr_to_gray_u8(patch_f)
-            patch_f = jnp.broadcast_to(gray[None], patch_f.shape)
+            gray = bgr_to_gray_u8(patch_u8.astype(jnp.float32))
+            patch_in = jnp.broadcast_to(gray[None], patch_u8.shape)
             kflags = 1
         else:
+            patch_in = patch_u8  # u8 straight into the kernel (1/4 the traffic)
             kflags = flags
-        g = preprocess_rhs_pallas(dest_f, patch_f, mask_roi, kflags, mixed_rule)
+        if use_pallas_post:
+            # full-Pallas serve path: the RHS is born transposed, the GEMM
+            # chain runs with Pallas strip-transposes between the MXU
+            # matmuls (solve_dst_gemm_pl: XLA's own relayouts are ~9x off
+            # the HBM roofline), and the solved interior casts to u8 in one
+            # final strip pass — no dest blend (border ring == dest already)
+            from seamlesscloneoptimization_tpu.ops.pallas_kernels import clamp_cast_pallas
+            from seamlesscloneoptimization_tpu.solvers.dst_gemm import solve_dst_gemm_pl
+
+            g_t = preprocess_rhs_transposed_pallas(
+                dest_roi_u8, patch_in, mask_roi, kflags, mixed_rule)
+            u = solve_dst_gemm_pl(g_t, precision=solver_kwargs.get("precision", "highest"))
+            interior = clamp_cast_pallas(u)
+            if return_inset:
+                return interior, 1
+            # standalone callers still get the full ROI contract
+            blended = jnp.concatenate([
+                dest_roi_u8[:, :1, :],
+                jnp.concatenate([dest_roi_u8[:, 1:-1, :1], interior,
+                                 dest_roi_u8[:, 1:-1, -1:]], axis=2),
+                dest_roi_u8[:, -1:, :],
+            ], axis=1)
+            return blended
+        g = preprocess_rhs_pallas(dest_roi_u8, patch_in, mask_roi, kflags, mixed_rule)
     else:
+        dest_f = dest_roi_u8.astype(jnp.float32)
+        patch_f = patch_u8.astype(jnp.float32)
         mask_eroded = erode3x3(binarize_mask(mask_roi))
         gx, gy = guidance_field(dest_f, patch_f, mask_eroded, flags, mixed_rule)
         g = poisson_rhs(gx, gy, dest_f)
@@ -84,12 +116,12 @@ def clone_roi(
 
         u_t = solver(g, transposed_output=True, **solver_kwargs)
         blended = postprocess_transposed_pallas(u_t, dest_roi_u8)
-        return blended
+        return (blended, 0) if return_inset else blended
     u = solver(g, **solver_kwargs)
     blended = postprocess_roi(u, dest_roi_u8)
     if return_stages:
         return blended, {"mask_eroded": mask_eroded, "gx": gx, "gy": gy, "rhs": g, "u": u}
-    return blended
+    return (blended, 0) if return_inset else blended
 
 
 def clone_pipeline(
@@ -147,11 +179,12 @@ def clone_pipeline(
     dest_p = interleaved_to_planar(dest_roi).astype(jnp.uint8)
     patch = jnp.where(mask_roi[None] != 0, src_p, jnp.uint8(0))
 
-    blended_roi = clone_roi(
+    blended_roi, inset = clone_roi(
         dest_p, patch, mask_roi, flags, solver, solver_kwargs,
         use_pallas_pre=use_pallas_pre, use_pallas_post=use_pallas_post,
-        mixed_rule=mixed_rule,
+        mixed_rule=mixed_rule, return_inset=True,
     )
 
-    out_roi = planar_to_interleaved(blended_roi)  # (bh, bw, C)
-    return jax.lax.dynamic_update_slice(dst, out_roi, (top, left, jnp.int32(0)))
+    out_roi = planar_to_interleaved(blended_roi)  # (bh-2*inset, bw-2*inset, C)
+    return jax.lax.dynamic_update_slice(
+        dst, out_roi, (top + inset, left + inset, jnp.int32(0)))

@@ -358,9 +358,16 @@ def _pre_strip_kernel(dest_ref, patch_ref, mask_ref, out_ref, *, flags, mixed_ru
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
     in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
 
-    d = dest_ref[0]
-    p = patch_ref[0]
-    msk = mask_ref[:] * in_dom  # {0,1}; zero outside the ROI = erosion border
+    # inputs may arrive as u8 (serve path: 4x less HBM traffic than f32);
+    # cast once in VMEM. Mosaic lacks a direct u8->f32 cast; hop via int32.
+    def to_f32(x):
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.int32).astype(jnp.float32)
+        return x
+
+    d = to_f32(dest_ref[0])
+    p = to_f32(patch_ref[0])
+    msk = to_f32(mask_ref[:]) * in_dom  # {0,1}; zero outside ROI = erosion border
 
     # 3x binary erosion (min over 3x3), zero border via the zero pad/mask
     def erode(x):
@@ -409,12 +416,14 @@ def preprocess_rhs_pallas(
     mixed_rule: str = "opencv",
     interpret: bool = False,
 ):
-    """Fused RHS: (C,H,W) f32 dest/patch + (H,W) u8 mask -> (C,H-2,W-2) f32.
+    """Fused RHS: (C,H,W) dest/patch + (H,W) u8 mask -> (C,H-2,W-2) f32.
 
-    One strip-tiled pass computes erode(x3) + guidance + divergence; the
-    Dirichlet boundary subtraction (4 edge vectors) is folded on top in XLA.
-    MONOCHROME_TRANSFER pre-grays the patch on the caller side; this kernel
-    handles NORMAL (flags=1) and MIXED (flags=2) blending.
+    dest_roi/patch may be u8 (serve path: the kernel casts in VMEM, reading
+    a quarter of the f32 HBM traffic) or f32 (MONOCHROME's pre-grayed
+    non-integer patch). One strip-tiled pass computes erode(x3) + guidance +
+    divergence; the Dirichlet boundary subtraction (4 edge vectors) is
+    folded on top in XLA. MONOCHROME_TRANSFER pre-grays the patch on the
+    caller side; this kernel handles NORMAL (flags=1) and MIXED (flags=2).
     """
     c, h, w = dest_roi.shape
     wp = _round_up(w, 128)
@@ -424,7 +433,7 @@ def preprocess_rhs_pallas(
     pad2 = ((_M, hp - h + _M), (0, wp - w))
     dp = jnp.pad(dest_roi, pad3)
     pp = jnp.pad(patch, pad3)
-    mp = jnp.pad((mask_roi != 0).astype(jnp.float32), pad2)
+    mp = jnp.pad((mask_roi != 0).astype(jnp.uint8), pad2)
 
     lap = pl.pallas_call(
         partial(_pre_strip_kernel, flags=flags, mixed_rule=mixed_rule,
@@ -441,12 +450,153 @@ def preprocess_rhs_pallas(
     )(dp, pp, mp)
 
     g = lap[:, 1 : h - 1, 1 : w - 1]
-    d = dest_roi
+    d = dest_roi.astype(jnp.float32)  # only the 4 edge vectors are touched
     g = g.at[:, 0, :].add(-d[:, 0, 1:-1])
     g = g.at[:, -1, :].add(-d[:, -1, 1:-1])
     g = g.at[:, :, 0].add(-d[:, 1:-1, 0])
     g = g.at[:, :, -1].add(-d[:, 1:-1, -1])
     return g
+
+
+def _erode3_kernel(mask_ref, out_ref, *, th, h, w, wp):
+    """3x binary 3x3 erosion of the {0,1} mask, strip-tiled, u8 in/out."""
+    i = pl.program_id(0)
+    m = _M
+    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
+    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
+    msk = mask_ref[:].astype(jnp.int32).astype(jnp.float32) * in_dom
+
+    def erode(x):
+        xp = jnp.pad(x, ((1, 1), (1, 1)))
+        out = x
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                out = jnp.minimum(out, xp[1 + dy : 1 + dy + x.shape[0],
+                                          1 + dx : 1 + dx + x.shape[1]])
+        return out
+
+    me = erode(erode(erode(msk)))
+    out_ref[:] = me[m : m + th, :].astype(jnp.int32).astype(jnp.uint8)
+
+
+def erode3_pallas(mask01: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """(H, W) u8 {0,1} mask -> 3x-eroded {0,1} u8, one strip pass."""
+    h, w = mask01.shape
+    wp = _round_up(w, 128)
+    th = _strip_height(wp, n_windows=1)
+    hp = _round_up(h, th)
+    mp = jnp.pad(mask01, ((_M, hp - h + _M), (0, wp - w)))
+    out = pl.pallas_call(
+        partial(_erode3_kernel, th=th, h=h, w=w, wp=wp),
+        grid=(hp // th,),
+        in_specs=[pl.BlockSpec((pl.Element(th + 2 * _M), pl.Element(wp)),
+                               lambda i: (pl.multiple_of(i * th, 8), 0))],
+        out_specs=pl.BlockSpec((th, wp), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
+        interpret=interpret,
+    )(mp)
+    return out[:h, :w]
+
+
+def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
+                        mixed_rule, th, h, w, wp):
+    """Per-(channel, strip) preprocess emitting the RHS TRANSPOSED.
+
+    Serve-path optimizations over ``_pre_strip_kernel``:
+    - the 3x3-erode chain (the dominant VPU cost: 27 shifted mins per
+      application) is hoisted into its own shared pass (erode3_pallas)
+      instead of being recomputed per channel;
+    - the divergence strip is transposed in VMEM and written to a
+      (C, Wp, Hp) output, so the DST-GEMM solver's transposed-space chain
+      (solve_dst_gemm(transposed_input=True)) starts without the physical
+      entry transpose XLA otherwise materializes (~0.75 ms at 2400x1552).
+    """
+    m = _M
+    i = pl.program_id(1)
+    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
+    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
+
+    def to_f32(x):
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.int32).astype(jnp.float32)
+        return x
+
+    me = to_f32(me_ref[:]) * in_dom
+
+    def gradx(img):
+        s = jnp.pad(img[:, 1:], ((0, 0), (0, 1)))
+        return jnp.where(cols < w - 1, s - img, 0.0) * in_dom
+
+    def grady(img):
+        s = jnp.pad(img[1:, :], ((0, 1), (0, 0)))
+        return jnp.where(rows < h - 1, s - img, 0.0) * in_dom
+
+    d = to_f32(dest_ref[0])
+    p = to_f32(patch_ref[0])
+    gx_d, gy_d = gradx(d), grady(d)
+    gx_p, gy_p = gradx(p), grady(p)
+    if flags == 2:
+        if mixed_rule == "norm":
+            take_d = (gx_p * gx_p + gy_p * gy_p) < (gx_d * gx_d + gy_d * gy_d)
+        else:
+            take_d = jnp.abs(gx_p - gy_p) <= jnp.abs(gx_d - gy_d)
+        gx_p = jnp.where(take_d, gx_d, gx_p)
+        gy_p = jnp.where(take_d, gy_d, gy_p)
+    gx = (1.0 - me) * gx_d + me * gx_p
+    gy = (1.0 - me) * gy_d + me * gy_p
+    lap = (gx - jnp.pad(gx[:, :-1], ((0, 0), (1, 0)))) + (
+        gy - jnp.pad(gy[:-1, :], ((1, 0), (0, 0)))
+    )
+    out_ref[0] = jnp.transpose(lap[m : m + th, :], (1, 0))
+
+
+def preprocess_rhs_transposed_pallas(
+    dest_roi: jnp.ndarray,
+    patch: jnp.ndarray,
+    mask_roi: jnp.ndarray,
+    flags: int = 1,
+    mixed_rule: str = "opencv",
+    interpret: bool = False,
+):
+    """Fused RHS, TRANSPOSED: inputs as preprocess_rhs_pallas, output
+    (C, W-2, H-2) f32 ready for solve_dst_gemm_pl /
+    solve_dst_gemm(transposed_input=True) — the solver chain then starts
+    without the physical entry transpose XLA otherwise materializes."""
+    c, h, w = dest_roi.shape
+    wp = _round_up(w, 128)
+    th = 128  # lane-dim write offsets must be 128-aligned
+    hp = _round_up(h, th)
+    pad3 = ((0, 0), (_M, hp - h + _M), (0, wp - w))
+    pad2 = ((_M, hp - h + _M), (0, wp - w))
+    dp = jnp.pad(dest_roi, pad3)
+    pp = jnp.pad(patch, pad3)
+    me = erode3_pallas((mask_roi != 0).astype(jnp.uint8), interpret=interpret)
+    mep = jnp.pad(me, pad2)
+
+    lap_t = pl.pallas_call(
+        partial(_pre_strip_kernel_t, flags=flags, mixed_rule=mixed_rule,
+                th=th, h=h, w=w, wp=wp),
+        grid=(c, hp // th),
+        in_specs=[
+            _halo_spec(th, wp),
+            _halo_spec(th, wp),
+            _halo_spec_2d(th, wp),
+        ],
+        out_specs=pl.BlockSpec((1, wp, th), lambda ci, i: (ci, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((c, wp, hp), jnp.float32),
+        interpret=interpret,
+    )(dp, pp, mep)
+
+    g_t = lap_t[:, 1 : w - 1, 1 : h - 1]  # (C, W-2, H-2)
+    d = dest_roi.astype(jnp.float32)  # only the 4 edge vectors are touched
+    # transposed image of preprocess_rhs_pallas's Dirichlet edge subtraction
+    g_t = g_t.at[:, :, 0].add(-d[:, 0, 1:-1])
+    g_t = g_t.at[:, :, -1].add(-d[:, -1, 1:-1])
+    g_t = g_t.at[:, 0, :].add(-d[:, 1:-1, 0])
+    g_t = g_t.at[:, -1, :].add(-d[:, 1:-1, -1])
+    return g_t
 
 
 # ---------------------------------------------------------------------------
@@ -512,3 +662,102 @@ def postprocess_transposed_pallas(
         interpret=interpret,
     )(u_pad, dest_pad)
     return out[:, :bh, :bw]
+
+
+# ---------------------------------------------------------------------------
+# Strip-tiled f32 transpose (optionally fused with the spectral divide)
+# ---------------------------------------------------------------------------
+
+
+def _transpose_kernel(x_ref, out_ref):
+    out_ref[0] = jnp.transpose(x_ref[0], (1, 0))
+
+
+def _transpose_div_kernel(x_ref, la_ref, lb_ref, out_ref):
+    xt = jnp.transpose(x_ref[0], (1, 0))  # (Bp, ta)
+    out_ref[0] = xt / (lb_ref[0][:, None] + la_ref[0][None, :])
+
+
+def transpose_pallas(x: jnp.ndarray, lam_a=None, lam_b=None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """(C, A, B) f32 -> (C, B, A), one strip pass at ~the HBM roofline.
+
+    XLA's own relayout transposes between the DST chain's GEMMs run ~9x off
+    the memory roofline at 2400x1552 (docs/PERF.md); this kernel reads
+    (ta=128, B) slabs, transposes them in VMEM and writes (B, 128) column
+    blocks. With ``lam_a`` (len A) and ``lam_b`` (len B) it also divides by
+    ``lam_a[a] + lam_b[b]`` — the spectral-divide step fused for free into
+    the middle transpose of solve_dst_gemm_pl. Padding lanes divide by a
+    1e9-padded eigenvalue sum (never zero: real DST eigenvalues lie in
+    (-4, 0)), and are sliced away.
+    """
+    c, a, b = x.shape
+    ta = 128
+    ap = _round_up(a, ta)
+    bp = _round_up(b, 8)
+    xp = jnp.pad(x, ((0, 0), (0, ap - a), (0, bp - b)))
+    grid = (c, ap // ta)
+    if lam_a is None:
+        out = pl.pallas_call(
+            _transpose_kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, ta, bp), lambda ci, i: (ci, i, 0))],
+            out_specs=pl.BlockSpec((1, bp, ta), lambda ci, i: (ci, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((c, bp, ap), jnp.float32),
+            interpret=interpret,
+        )(xp)
+    else:
+        la = jnp.pad(jnp.asarray(lam_a, jnp.float32), (0, ap - a),
+                     constant_values=1e9)[None, :]
+        lb = jnp.pad(jnp.asarray(lam_b, jnp.float32), (0, bp - b),
+                     constant_values=1e9)[None, :]
+        out = pl.pallas_call(
+            _transpose_div_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, ta, bp), lambda ci, i: (ci, i, 0)),
+                pl.BlockSpec((1, ta), lambda ci, i: (0, i)),
+                pl.BlockSpec((1, bp), lambda ci, i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bp, ta), lambda ci, i: (ci, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((c, bp, ap), jnp.float32),
+            interpret=interpret,
+        )(xp, la, lb)
+    return out[:, :b, :a]
+
+
+# ---------------------------------------------------------------------------
+# Natural-orientation post-processing (for the solve_dst_gemm_pl chain)
+# ---------------------------------------------------------------------------
+
+
+def _clamp_cast_kernel(u_ref, out_ref):
+    out_ref[0] = jnp.clip(u_ref[0], 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def clamp_cast_pallas(u: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """(C, H2, W2) f32 solution -> u8, clamp + OpenCV truncate-cast.
+
+    The serve fast path pastes the solved INTERIOR directly into the
+    destination at a (+1, +1) inset — the ROI's border ring is by
+    construction identical to what the destination already holds, so
+    blending against dest (ref post_processing, seamlessClone_imp.cpp:
+    2078-2103) is unnecessary and this kernel needs no dest operand at all
+    (XLA staged that operand through memory space 1 at ~2.8 ms/frame).
+    """
+    c, h2, w2 = u.shape
+    th = 128
+    hp = _round_up(h2, th)
+    wp = _round_up(w2, 128)
+    up = jnp.pad(u, ((0, 0), (0, hp - h2), (0, wp - w2)))
+    out = pl.pallas_call(
+        _clamp_cast_kernel,
+        grid=(c, hp // th),
+        in_specs=[pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0))],
+        out_specs=pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.uint8),
+        interpret=interpret,
+    )(up)
+    return out[:, :h2, :w2]
+
+

@@ -117,14 +117,56 @@ def _mm_left(m, a, prec):
     return jnp.einsum("ij,...jk->...ik", m, a, precision=prec)
 
 
-@partial(jax.jit, static_argnames=("transform_only", "precision", "transposed_output"))
+@partial(jax.jit, static_argnames=("precision", "interpret"))
+def solve_dst_gemm_pl(g_t: jnp.ndarray, precision: str = "highest",
+                      interpret: bool = False) -> jnp.ndarray:
+    """DST solve with Pallas strip-transposes between the GEMMs (TPU serve path).
+
+    XLA canonicalizes every GEMM of the DST chain to a right-multiply
+    (image @ V, contracting the image's minor dim) and materializes a
+    relayout transpose between consecutive GEMMs — measured ~9x off the HBM
+    roofline (0.6-1.1 ms each at 2400x1552, ~3.4 ms/frame total). This chain
+    keeps the same canonical right-multiply GEMMs but does the three
+    inter-GEMM transposes as Pallas strip kernels (~roofline, ~0.2 ms each),
+    fusing the spectral divide into the middle one.
+
+    In: g_t (C, W-2, H-2) f32 — the transposed RHS from
+    preprocess_rhs_transposed_pallas. Out: u (C, H-2, W-2) f32 in NATURAL
+    orientation (ready for the non-transposing Pallas postprocess).
+    """
+    from seamlesscloneoptimization_tpu.ops.pallas_kernels import transpose_pallas
+
+    prec = _PRECISIONS[precision]
+    c, w, h = g_t.shape
+    vh = dst_matrix(h)
+    vw = dst_matrix(w)
+    # forward: ghat = Vh G Vw, held transposed between the two multiplies
+    s1 = _mm(g_t, vh, prec)              # (C,W,H)  = (Vh G)^T
+    tr1 = transpose_pallas(s1, interpret=interpret)   # (C,H,W) = Vh G
+    s2 = _mm(tr1, vw, prec)              # (C,H,W)  = ghat
+    # spectral divide fused into the transpose back: uhat^T
+    tr2 = transpose_pallas(s2, lam_a=dst_eigenvalues(h), lam_b=dst_eigenvalues(w),
+                           interpret=interpret)       # (C,W,H) = uhat^T
+    # inverse: u = Vh uhat Vw
+    s4 = _mm(tr2, vh, prec)              # (C,W,H)  = (Vh uhat)^T
+    tr3 = transpose_pallas(s4, interpret=interpret)   # (C,H,W) = Vh uhat
+    return _mm(tr3, vw, prec)            # (C,H,W)  = u
+
+
+@partial(jax.jit, static_argnames=("transform_only", "precision",
+                                   "transposed_output", "transposed_input"))
 def solve_dst_gemm(
     g: jnp.ndarray,
     transform_only: bool = False,
     precision: str = "highest",
     transposed_output: bool = False,
+    transposed_input: bool = False,
 ) -> jnp.ndarray:
     """Solve A u = g for g: (C, H, W) f32 via 4 batched GEMMs.
+
+    ``transposed_input=True`` means g arrives as (C, W, H) and the whole
+    chain runs in transposed space with no physical transpose at either end
+    (the output is then always transposed).
 
     precision: "highest" (f32 accumulation, bit-matches the NumPy oracle) |
     "high" (bf16_3x MXU passes, ~2.2x faster on v5e). Measured end-to-end
@@ -134,6 +176,14 @@ def solve_dst_gemm(
     its diff-sum 13.7M / max 6 at that size). CPU backends ignore this.
     """
     prec = _PRECISIONS[precision]
+    if transposed_input:
+        _, w, h = g.shape
+        vh = dst_matrix(h)
+        vw = dst_matrix(w)
+        lam_t = jnp.asarray(dst_eigenvalues(w)[:, None] + dst_eigenvalues(h)[None, :])
+        ghat_t = _mm(_mm_left(vw, g, prec), vh, prec)
+        uhat_t = ghat_t / lam_t[None, :, :]
+        return _mm(_mm_left(vw, uhat_t, prec), vh, prec)
     _, h, w = g.shape
     vh = dst_matrix(h)
     vw = dst_matrix(w)

@@ -50,6 +50,15 @@ class TestPreprocessPallas:
         )
         want = np.transpose(st["rhs"], (2, 0, 1))
         np.testing.assert_allclose(np.asarray(g), want, atol=1e-3)
+        # u8 inputs (the serve path: cast happens in VMEM) must bit-match f32
+        g8 = preprocess_rhs_pallas(
+            jnp.asarray(dest_roi.astype(np.uint8)),
+            jnp.asarray(patch.astype(np.uint8)),
+            jnp.asarray(st["mask_roi"]),
+            flags=flags,
+            interpret=True,
+        )
+        assert np.array_equal(np.asarray(g8), np.asarray(g))
 
 
 class TestPipelinePallasPre:
@@ -166,3 +175,156 @@ class TestPostprocessTransposedPallas:
         u2 = jnp.swapaxes(solve_dst_gemm(g, transposed_output=True), 1, 2)
         scale = float(jnp.abs(u1).max())
         assert float(jnp.abs(u1 - u2).max()) / scale < 1e-5
+
+
+class TestServeChainPallas:
+    """The full-Pallas serve chain: transposed preprocess -> Pallas-transpose
+    GEMM solve -> dest-free clamp-cast -> inset paste."""
+
+    def test_erode3_pallas(self):
+        from seamlesscloneoptimization_tpu.ops.mask import binarize_mask, erode3x3
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import erode3_pallas
+
+        rng = np.random.default_rng(5)
+        m = (rng.random((90, 170)) < 0.85).astype(np.uint8) * 255
+        want = (np.asarray(erode3x3(binarize_mask(jnp.asarray(m)))) != 0).astype(np.uint8)
+        got = np.asarray(erode3_pallas(jnp.asarray((m != 0).astype(np.uint8)),
+                                       interpret=True))
+        assert np.array_equal(got, want)
+
+    @pytest.mark.parametrize("ab", [(60, 90), (128, 256), (130, 61)])
+    def test_transpose_pallas(self, ab):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import transpose_pallas
+        from seamlesscloneoptimization_tpu.solvers.dst_gemm import dst_eigenvalues
+
+        a, b = ab
+        rng = np.random.default_rng(a)
+        x = jnp.asarray(rng.normal(size=(3, a, b)).astype(np.float32) * 40)
+        got = transpose_pallas(x, interpret=True)
+        assert np.array_equal(np.asarray(got), np.asarray(jnp.swapaxes(x, 1, 2)))
+        # fused spectral divide: out[c, b, a] = x[c, a, b] / (lam_a[a]+lam_b[b])
+        la, lb = dst_eigenvalues(a), dst_eigenvalues(b)
+        got_d = transpose_pallas(x, lam_a=la, lam_b=lb, interpret=True)
+        want = np.asarray(jnp.swapaxes(x, 1, 2)) / (
+            np.asarray(lb)[None, :, None] + np.asarray(la)[None, None, :])
+        np.testing.assert_allclose(np.asarray(got_d), want, rtol=1e-6)
+
+    def test_solve_dst_gemm_pl_matches_xla_chain(self):
+        from seamlesscloneoptimization_tpu.solvers.dst_gemm import (
+            solve_dst_gemm,
+            solve_dst_gemm_pl,
+        )
+
+        rng = np.random.default_rng(6)
+        g = jnp.asarray(rng.normal(size=(3, 61, 93)).astype(np.float32) * 50)
+        want = np.asarray(solve_dst_gemm(g))
+        got = np.asarray(solve_dst_gemm_pl(jnp.swapaxes(g, 1, 2), interpret=True))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-5
+
+    def test_clamp_cast_pallas(self):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import clamp_cast_pallas
+
+        rng = np.random.default_rng(7)
+        u = jnp.asarray(rng.normal(size=(3, 70, 140)).astype(np.float32) * 160 + 90)
+        want = np.clip(np.asarray(u), 0.0, 255.0).astype(np.int32).astype(np.uint8)
+        got = np.asarray(clamp_cast_pallas(u, interpret=True))
+        assert np.array_equal(got, want)
+
+    def test_preprocess_transposed_matches_oracle(self, airplane, sky, irregular_mask):
+        from seamlesscloneoptimization_tpu.core import reference as R
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            preprocess_rhs_transposed_pallas,
+        )
+
+        for flags in (1, 2):
+            _, st = R.seamless_clone_np(
+                airplane, sky, irregular_mask.copy(), (700, 300), flags=flags,
+                return_stages=True,
+            )
+            left, top = st["left_top"]
+            _, _, bw, bh = st["bbox"]
+            dest = jnp.asarray(np.transpose(
+                sky[top : top + bh, left : left + bw], (2, 0, 1)).astype(np.uint8))
+            patch = jnp.asarray(np.transpose(st["patch"], (2, 0, 1)).astype(np.uint8))
+            g_t = preprocess_rhs_transposed_pallas(
+                dest, patch, jnp.asarray(st["mask_roi"]), flags=flags, interpret=True)
+            want = np.transpose(st["rhs"], (2, 1, 0))  # (C, W-2, H-2)
+            np.testing.assert_allclose(np.asarray(g_t), want, atol=1e-3)
+
+    def _interp_mocks(self):
+        """Patch every kernel of the serve chain to interpret mode."""
+        from unittest import mock
+
+        from seamlesscloneoptimization_tpu.ops import pallas_kernels as PK
+
+        def force_interp(orig):
+            return lambda *a, **k: orig(*a, **{**k, "interpret": True})
+
+        patches = []
+        for name in ("preprocess_rhs_transposed_pallas", "erode3_pallas",
+                     "transpose_pallas", "clamp_cast_pallas"):
+            patches.append(mock.patch.object(PK, name, force_interp(getattr(PK, name))))
+        return patches
+
+    def test_clone_roi_full_pallas_matches_xla(self, airplane, sky, irregular_mask):
+        """clone_roi's standalone (non-inset) full-Pallas contract: the whole
+        ROI, within 1 LSB of the XLA path (GEMM accumulation order differs)."""
+        import contextlib
+        from unittest import mock
+
+        from seamlesscloneoptimization_tpu.core import reference as R
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+        from seamlesscloneoptimization_tpu.solvers import solve_dst_gemm
+
+        _, st = R.seamless_clone_np(
+            airplane, sky, irregular_mask.copy(), (700, 300), return_stages=True)
+        left, top = st["left_top"]
+        _, _, bw, bh = st["bbox"]
+        dest = jnp.asarray(np.transpose(
+            sky[top : top + bh, left : left + bw], (2, 0, 1)).astype(np.uint8))
+        patch = jnp.asarray(np.transpose(st["patch"], (2, 0, 1)).astype(np.uint8))
+        mask = jnp.asarray(st["mask_roi"])
+
+        ref = np.asarray(P.clone_roi(dest, patch, mask, 1, solve_dst_gemm))
+        with contextlib.ExitStack() as es:
+            for p in self._interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            got = np.asarray(P.clone_roi(
+                dest, patch, mask, 1, solve_dst_gemm,
+                use_pallas_pre=True, use_pallas_post=True))
+        assert got.shape == ref.shape
+        # border ring must be EXACTLY dest (the inset-paste invariant)
+        assert np.array_equal(got[:, 0, :], np.asarray(dest)[:, 0, :])
+        assert np.array_equal(got[:, -1, :], np.asarray(dest)[:, -1, :])
+        assert np.array_equal(got[:, :, 0], np.asarray(dest)[:, :, 0])
+        assert np.array_equal(got[:, :, -1], np.asarray(dest)[:, :, -1])
+        diff = np.abs(got.astype(np.int16) - ref.astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+
+    def test_engine_full_pallas_serve_matches(self, airplane, sky, irregular_mask):
+        """Engine-level: both pallas flags + inset paste, vs the plain engine
+        (1 LSB tolerance) — validates the (top+1, left+1) paste offsets."""
+        import contextlib
+        from unittest import mock
+
+        from seamlesscloneoptimization_tpu.core.config import CloneConfig
+        from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+
+        eng = SeamlessClone(CloneConfig(
+            use_pallas_preprocess=True, use_pallas_postprocess=True))
+        with contextlib.ExitStack() as es:
+            for p in self._interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            out = np.asarray(eng.run(airplane, sky, irregular_mask.copy(), (700, 300)))
+        want = np.asarray(SeamlessClone(CloneConfig()).run(
+            airplane, sky, irregular_mask.copy(), (700, 300)))
+        diff = np.abs(out.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+        # everything outside the ROI interior is untouched destination
+        assert np.array_equal(out[0, :, :], sky[0, :, :])

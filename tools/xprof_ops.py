@@ -57,11 +57,42 @@ def op_table(trace_dir: str, top: int = 35, loops: int = 1):
     return rows
 
 
+def profile_serve(h: int, w: int, loops: int):
+    """Profile the full engine serve step (bench.py's exact config)."""
+    import cv2
+
+    from seamlesscloneoptimization_tpu.core.config import CloneConfig
+    from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+
+    a = cv2.imread("/root/reference/seamlessClone-OpenCV/images/airplane.jpg")
+    s = cv2.imread("/root/reference/seamlessClone-OpenCV/images/sky.jpg")
+    src = cv2.resize(a, (w, h), interpolation=cv2.INTER_CUBIC)
+    dst = cv2.resize(s, (2 * w, (2 * h * 2694) // 3104), interpolation=cv2.INTER_CUBIC)
+    mask = np.full(src.shape[:2], 255, np.uint8)
+    center = (dst.shape[1] // 2, dst.shape[0] // 2)
+    eng = SeamlessClone(CloneConfig(solver="dst_gemm", donate_dst=True, precision="high",
+                                    use_pallas_preprocess=True, use_pallas_postprocess=True))
+    # warm-up outside trace
+    _, ms0 = eng.timed_serve(src, dst, mask, center, loops=4)
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
+    jax.profiler.start_trace(TRACE_DIR)
+    _, ms = eng.timed_serve(src, dst, mask, center, loops=loops)
+    jax.profiler.stop_trace()
+    # timed_serve runs warmup(1) + 2 passes of `loops` + sync probes inside
+    # the trace window; count executions as 2*loops+1 for per-frame figures
+    print(f"serve {w}x{h}: {ms:.3f} ms/frame (warm pass {ms0:.3f})")
+    op_table(TRACE_DIR, loops=2 * loops + 1)
+
+
 def main():
     args = sys.argv[1:]
     piece = args[0] if args else "vcycle_pl"
     h, w = (int(args[1]), int(args[2])) if len(args) >= 3 else (1550, 2398)
     loops = int(args[3]) if len(args) >= 4 else 10
+
+    if piece == "serve":
+        profile_serve(h, w, loops)
+        return
 
     from seamlesscloneoptimization_tpu.solvers import multigrid as MG
 
