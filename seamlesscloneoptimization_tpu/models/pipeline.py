@@ -80,18 +80,22 @@ def clone_roi(
             patch_in = patch_u8  # u8 straight into the kernel (1/4 the traffic)
             kflags = flags
         if use_pallas_post:
-            # full-Pallas serve path: the RHS is born transposed, the GEMM
-            # chain runs with Pallas strip-transposes between the MXU
+            # full-Pallas serve path: the RHS is born transposed + padded
+            # (Dirichlet folded in-kernel), the GEMM chain runs entirely in
+            # padded space with Pallas strip-transposes between the MXU
             # matmuls (solve_dst_gemm_pl: XLA's own relayouts are ~9x off
-            # the HBM roofline), and the solved interior casts to u8 in one
-            # final strip pass — no dest blend (border ring == dest already)
+            # the HBM roofline and every inter-stage slice costs a copy),
+            # and the solved interior casts to u8 in one final strip pass —
+            # no dest blend (border ring == dest already)
             from seamlesscloneoptimization_tpu.ops.pallas_kernels import clamp_cast_pallas
             from seamlesscloneoptimization_tpu.solvers.dst_gemm import solve_dst_gemm_pl
 
-            g_t = preprocess_rhs_transposed_pallas(
+            h2, w2 = dest_roi_u8.shape[1] - 2, dest_roi_u8.shape[2] - 2
+            g_tp = preprocess_rhs_transposed_pallas(
                 dest_roi_u8, patch_in, mask_roi, kflags, mixed_rule)
-            u = solve_dst_gemm_pl(g_t, precision=solver_kwargs.get("precision", "highest"))
-            interior = clamp_cast_pallas(u)
+            u = solve_dst_gemm_pl(g_tp, h2=h2, w2=w2,
+                                  precision=solver_kwargs.get("precision", "highest"))
+            interior = clamp_cast_pallas(u, out_hw=(h2, w2))
             if return_inset:
                 return interior, 1
             # standalone callers still get the full ROI contract

@@ -500,22 +500,28 @@ def erode3_pallas(mask01: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 
 
 def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
-                        mixed_rule, th, h, w, wp):
-    """Per-(channel, strip) preprocess emitting the RHS TRANSPOSED.
+                        mixed_rule, th, h, w, wp_out, wpk):
+    """Per-(channel, strip) preprocess emitting the PADDED TRANSPOSED RHS.
 
     Serve-path optimizations over ``_pre_strip_kernel``:
     - the 3x3-erode chain (the dominant VPU cost: 27 shifted mins per
       application) is hoisted into its own shared pass (erode3_pallas)
       instead of being recomputed per channel;
-    - the divergence strip is transposed in VMEM and written to a
-      (C, Wp, Hp) output, so the DST-GEMM solver's transposed-space chain
-      (solve_dst_gemm(transposed_input=True)) starts without the physical
-      entry transpose XLA otherwise materializes (~0.75 ms at 2400x1552).
+    - the Dirichlet boundary subtraction (ref pre_process_kernel_lapXY,
+      seamlessClone_imp.cpp:1992-2007) is folded IN-KERNEL — the edge
+      destination pixels it needs are always inside the strip's halo —
+      instead of an XLA ``at[].add`` pass over the whole array (~0.63 ms
+      at 2400x1552);
+    - the interior is written TRANSPOSED at the ORIGIN of a zero-padded
+      (C, WPo, HPo) slab (both 128-multiples), so the whole DST-GEMM chain
+      (solve_dst_gemm_pl) can run in padded space with zero-padded V
+      matrices: no inter-stage relayout slice/pad copies anywhere
+      (measured ~2.4 ms of the serve step).
     """
     m = _M
     i = pl.program_id(1)
-    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
+    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 1)
     in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
 
     def to_f32(x):
@@ -549,7 +555,23 @@ def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
     lap = (gx - jnp.pad(gx[:, :-1], ((0, 0), (1, 0)))) + (
         gy - jnp.pad(gy[:-1, :], ((1, 0), (0, 0)))
     )
-    out_ref[0] = jnp.transpose(lap[m : m + th, :], (1, 0))
+    # Dirichlet boundary subtraction, folded in: interior-adjacent rows/cols
+    # subtract the destination's border pixel (row 0 / h-1, col 0 / w-1)
+    d_up = jnp.pad(d[:-1, :], ((1, 0), (0, 0)))   # d at row-1
+    d_dn = jnp.pad(d[1:, :], ((0, 1), (0, 0)))    # d at row+1
+    lap = lap - jnp.where(rows == 1, d_up, 0.0) - jnp.where(rows == h - 2, d_dn, 0.0)
+    lap = lap - jnp.where(cols == 1, d[:, 0:1], 0.0)
+    lap = lap - jnp.where(cols == w - 2, d[:, w - 1 : w], 0.0)
+    # zero everything outside the interior (the padded-GEMM chain requires
+    # exact zeros in the padding), shift the interior to the origin, emit
+    # transposed: out[j, r] = lap[y = r+1, x = j+1]
+    valid = (rows >= 1) & (rows <= h - 2) & (cols >= 1) & (cols <= w - 2)
+    lap = jnp.where(valid, lap, 0.0)
+    lap_s = lap[m + 1 : m + 1 + th, :]      # rows y = i*th+1 .. i*th+th
+    # drop border column 0 AFTER the transpose: a sublane slice, which
+    # Mosaic supports (the pre-transpose lane-shift pad does not lower)
+    t = jnp.transpose(lap_s, (1, 0))        # (wpk, th)
+    out_ref[0] = t[1 : 1 + wp_out, :]
 
 
 def preprocess_rhs_transposed_pallas(
@@ -560,43 +582,39 @@ def preprocess_rhs_transposed_pallas(
     mixed_rule: str = "opencv",
     interpret: bool = False,
 ):
-    """Fused RHS, TRANSPOSED: inputs as preprocess_rhs_pallas, output
-    (C, W-2, H-2) f32 ready for solve_dst_gemm_pl /
-    solve_dst_gemm(transposed_input=True) — the solver chain then starts
-    without the physical entry transpose XLA otherwise materializes."""
+    """Fused RHS, TRANSPOSED + PADDED: inputs as preprocess_rhs_pallas,
+    output (C, WPo, HPo) f32 with WPo/HPo = 128-roundups of (W-2, H-2), the
+    transposed interior RHS at the origin and exact zeros in the padding,
+    Dirichlet edges already applied — ready for solve_dst_gemm_pl's
+    padded-space chain with no slice/pad copies at either end."""
     c, h, w = dest_roi.shape
-    wp = _round_up(w, 128)
+    h2, w2 = h - 2, w - 2
+    wp_out = _round_up(w2, 128)
+    hp_out = _round_up(h2, 128)
+    # the kernel left-shifts the strip by one lane before emitting, so the
+    # read width must cover wp_out + 1 columns (cf. the postprocess bwp fix)
+    wpk = _round_up(max(w, wp_out + 1), 128)
     th = 128  # lane-dim write offsets must be 128-aligned
-    hp = _round_up(h, th)
-    pad3 = ((0, 0), (_M, hp - h + _M), (0, wp - w))
-    pad2 = ((_M, hp - h + _M), (0, wp - w))
+    pad3 = ((0, 0), (_M, hp_out - h + _M), (0, wpk - w))
+    pad2 = ((_M, hp_out - h + _M), (0, wpk - w))
     dp = jnp.pad(dest_roi, pad3)
     pp = jnp.pad(patch, pad3)
     me = erode3_pallas((mask_roi != 0).astype(jnp.uint8), interpret=interpret)
     mep = jnp.pad(me, pad2)
 
-    lap_t = pl.pallas_call(
+    return pl.pallas_call(
         partial(_pre_strip_kernel_t, flags=flags, mixed_rule=mixed_rule,
-                th=th, h=h, w=w, wp=wp),
-        grid=(c, hp // th),
+                th=th, h=h, w=w, wp_out=wp_out, wpk=wpk),
+        grid=(c, hp_out // th),
         in_specs=[
-            _halo_spec(th, wp),
-            _halo_spec(th, wp),
-            _halo_spec_2d(th, wp),
+            _halo_spec(th, wpk),
+            _halo_spec(th, wpk),
+            _halo_spec_2d(th, wpk),
         ],
-        out_specs=pl.BlockSpec((1, wp, th), lambda ci, i: (ci, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((c, wp, hp), jnp.float32),
+        out_specs=pl.BlockSpec((1, wp_out, th), lambda ci, i: (ci, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((c, wp_out, hp_out), jnp.float32),
         interpret=interpret,
     )(dp, pp, mep)
-
-    g_t = lap_t[:, 1 : w - 1, 1 : h - 1]  # (C, W-2, H-2)
-    d = dest_roi.astype(jnp.float32)  # only the 4 edge vectors are touched
-    # transposed image of preprocess_rhs_pallas's Dirichlet edge subtraction
-    g_t = g_t.at[:, :, 0].add(-d[:, 0, 1:-1])
-    g_t = g_t.at[:, :, -1].add(-d[:, -1, 1:-1])
-    g_t = g_t.at[:, 0, :].add(-d[:, 1:-1, 0])
-    g_t = g_t.at[:, -1, :].add(-d[:, 1:-1, -1])
-    return g_t
 
 
 # ---------------------------------------------------------------------------
@@ -735,7 +753,8 @@ def _clamp_cast_kernel(u_ref, out_ref):
     out_ref[0] = jnp.clip(u_ref[0], 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
-def clamp_cast_pallas(u: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+def clamp_cast_pallas(u: jnp.ndarray, out_hw: tuple[int, int] | None = None,
+                      interpret: bool = False) -> jnp.ndarray:
     """(C, H2, W2) f32 solution -> u8, clamp + OpenCV truncate-cast.
 
     The serve fast path pastes the solved INTERIOR directly into the
@@ -744,6 +763,11 @@ def clamp_cast_pallas(u: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     blending against dest (ref post_processing, seamlessClone_imp.cpp:
     2078-2103) is unnecessary and this kernel needs no dest operand at all
     (XLA staged that operand through memory space 1 at ~2.8 ms/frame).
+
+    ``out_hw`` slices the returned u8 to (h2, w2) — for padded-chain inputs
+    (solve_dst_gemm_pl output) whose interior sits at the origin; the slice
+    happens on u8, a quarter of the f32 traffic, and typically fuses into
+    the caller's layout op.
     """
     c, h2, w2 = u.shape
     th = 128
@@ -758,6 +782,7 @@ def clamp_cast_pallas(u: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.uint8),
         interpret=interpret,
     )(up)
-    return out[:, :h2, :w2]
+    oh, ow = out_hw if out_hw is not None else (h2, w2)
+    return out[:, :oh, :ow]
 
 

@@ -46,6 +46,28 @@ def dst_eigenvalues(n: int):
 
 
 @lru_cache(maxsize=64)
+def dst_matrix_padded(n: int, n_pad: int):
+    """dst_matrix(n) zero-padded to (n_pad, n_pad).
+
+    A zero-padded V keeps every GEMM of the padded-space chain exact: the
+    extra rows/columns only ever multiply the (exactly zero) padding of the
+    image operand, so no slicing is needed between stages.
+    """
+    v = np.zeros((n_pad, n_pad), np.float32)
+    v[:n, :n] = dst_matrix(n)
+    return v
+
+
+@lru_cache(maxsize=256)
+def dst_eigenvalues_padded(n: int, n_pad: int):
+    """dst_eigenvalues(n) padded to n_pad with 1e9 (the spectral divide's
+    padding lanes then divide ~0 by ~1e9: still exactly 0/harmless)."""
+    lam = np.full(n_pad, 1e9, np.float32)
+    lam[:n] = dst_eigenvalues(n)
+    return lam
+
+
+@lru_cache(maxsize=64)
 def beta_eigenbasis(n: int, beta: float):
     """Eigenbasis of the 1-D Dirichlet tridiagonal with a short last gap.
 
@@ -113,44 +135,81 @@ def _mm(a, b, prec):
     return jnp.einsum("...ij,jk->...ik", a, b, precision=prec)
 
 
+def _mm_2x(a, v, mode):
+    """Two-MXU-pass f32-accurate-ish matmul: a (..., k) f32, v (k, n) f32 const.
+
+    ``precision="high"`` (bf16_3x) splits BOTH operands into bf16 hi+lo and
+    runs 3 MXU passes. When one operand is a CONSTANT whose rounding error
+    is tolerable in bf16, 2 passes suffice:
+      - mode "2x_img": image split hi+lo (image exact to ~2^-17), V rounded
+        to a single bf16 (~2^-9 systematic on the transform).
+      - mode "2x_v": V split hi+lo (transform exact to ~2^-17), image
+        rounded to a single bf16.
+    Both accumulate f32 on the MXU. Which rounding the Poisson solve
+    tolerates is an empirical question — see docs/PERF.md.
+    """
+    ein = partial(jnp.einsum, "...ij,jk->...ik",
+                  preferred_element_type=jnp.float32)
+    vf = np.asarray(v, np.float32)
+    if mode == "2x_img":
+        vb = jnp.asarray(vf).astype(jnp.bfloat16)
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        return ein(ah, vb) + ein(al, vb)
+    vh_ = jnp.asarray(vf).astype(jnp.bfloat16)
+    vl_ = jnp.asarray(vf) - vh_.astype(jnp.float32)
+    ab = a.astype(jnp.bfloat16)
+    return ein(ab, vh_) + ein(ab, vl_.astype(jnp.bfloat16))
+
+
 def _mm_left(m, a, prec):
     return jnp.einsum("ij,...jk->...ik", m, a, precision=prec)
 
 
-@partial(jax.jit, static_argnames=("precision", "interpret"))
-def solve_dst_gemm_pl(g_t: jnp.ndarray, precision: str = "highest",
+@partial(jax.jit, static_argnames=("h2", "w2", "precision", "interpret"))
+def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
+                      precision: str = "highest",
                       interpret: bool = False) -> jnp.ndarray:
-    """DST solve with Pallas strip-transposes between the GEMMs (TPU serve path).
+    """DST solve in PADDED space with Pallas transposes (TPU serve path).
 
     XLA canonicalizes every GEMM of the DST chain to a right-multiply
     (image @ V, contracting the image's minor dim) and materializes a
     relayout transpose between consecutive GEMMs — measured ~9x off the HBM
     roofline (0.6-1.1 ms each at 2400x1552, ~3.4 ms/frame total). This chain
     keeps the same canonical right-multiply GEMMs but does the three
-    inter-GEMM transposes as Pallas strip kernels (~roofline, ~0.2 ms each),
-    fusing the spectral divide into the middle one.
+    inter-GEMM transposes as Pallas strip kernels (~roofline, ~0.07 ms
+    each), fusing the spectral divide into the middle one.
 
-    In: g_t (C, W-2, H-2) f32 — the transposed RHS from
-    preprocess_rhs_transposed_pallas. Out: u (C, H-2, W-2) f32 in NATURAL
-    orientation (ready for the non-transposing Pallas postprocess).
+    The whole chain runs on 128-aligned PADDED slabs: in is g_tp
+    (C, WPo, HPo) f32 — the padded transposed RHS from
+    preprocess_rhs_transposed_pallas, interior (w2, h2) at the origin and
+    exact zeros elsewhere. With zero-padded V matrices every GEMM stays
+    exact and zero-padded, so nothing is sliced or re-padded between stages
+    (each such slice cost 0.65-0.9 ms as a misaligned relayout copy). Out:
+    (C, HPo, WPo) f32, the natural-orientation solution at the origin.
     """
     from seamlesscloneoptimization_tpu.ops.pallas_kernels import transpose_pallas
 
-    prec = _PRECISIONS[precision]
-    c, w, h = g_t.shape
-    vh = dst_matrix(h)
-    vw = dst_matrix(w)
+    c, wp, hp = g_tp.shape
+    vhp = dst_matrix_padded(h2, hp)
+    vwp = dst_matrix_padded(w2, wp)
+    if precision in ("2x_img", "2x_v"):
+        mm = lambda a, v: _mm_2x(a, v, precision)  # noqa: E731
+    else:
+        prec = _PRECISIONS[precision]
+        mm = lambda a, v: _mm(a, v, prec)  # noqa: E731
     # forward: ghat = Vh G Vw, held transposed between the two multiplies
-    s1 = _mm(g_t, vh, prec)              # (C,W,H)  = (Vh G)^T
-    tr1 = transpose_pallas(s1, interpret=interpret)   # (C,H,W) = Vh G
-    s2 = _mm(tr1, vw, prec)              # (C,H,W)  = ghat
+    s1 = mm(g_tp, vhp)                   # (C,WP,HP) = (Vh G)^T
+    tr1 = transpose_pallas(s1, interpret=interpret)   # (C,HP,WP) = Vh G
+    s2 = mm(tr1, vwp)                    # (C,HP,WP) = ghat
     # spectral divide fused into the transpose back: uhat^T
-    tr2 = transpose_pallas(s2, lam_a=dst_eigenvalues(h), lam_b=dst_eigenvalues(w),
-                           interpret=interpret)       # (C,W,H) = uhat^T
+    tr2 = transpose_pallas(s2, lam_a=dst_eigenvalues_padded(h2, hp),
+                           lam_b=dst_eigenvalues_padded(w2, wp),
+                           interpret=interpret)       # (C,WP,HP) = uhat^T
     # inverse: u = Vh uhat Vw
-    s4 = _mm(tr2, vh, prec)              # (C,W,H)  = (Vh uhat)^T
-    tr3 = transpose_pallas(s4, interpret=interpret)   # (C,H,W) = Vh uhat
-    return _mm(tr3, vw, prec)            # (C,H,W)  = u
+    s4 = mm(tr2, vhp)                    # (C,WP,HP) = (Vh uhat)^T
+    tr3 = transpose_pallas(s4, interpret=interpret)   # (C,HP,WP) = Vh uhat
+    return mm(tr3, vwp)                  # (C,HP,WP) = u (padded)
 
 
 @partial(jax.jit, static_argnames=("transform_only", "precision",

@@ -216,11 +216,19 @@ class TestServeChainPallas:
         )
 
         rng = np.random.default_rng(6)
-        g = jnp.asarray(rng.normal(size=(3, 61, 93)).astype(np.float32) * 50)
+        h2, w2 = 61, 93
+        g = jnp.asarray(rng.normal(size=(3, h2, w2)).astype(np.float32) * 50)
         want = np.asarray(solve_dst_gemm(g))
-        got = np.asarray(solve_dst_gemm_pl(jnp.swapaxes(g, 1, 2), interpret=True))
+        # padded-space contract: transposed RHS at the origin of a 128-slab
+        g_tp = jnp.zeros((3, 128, 128), jnp.float32)
+        g_tp = g_tp.at[:, :w2, :h2].set(jnp.swapaxes(g, 1, 2))
+        u_p = np.asarray(solve_dst_gemm_pl(g_tp, h2=h2, w2=w2, interpret=True))
         scale = np.abs(want).max()
-        assert np.abs(got - want).max() / scale < 1e-5
+        assert np.abs(u_p[:, :h2, :w2] - want).max() / scale < 1e-5
+        # the padding must come out (near-)zero so downstream slicing is safe
+        pad_mask = np.ones(u_p.shape, bool)
+        pad_mask[:, :h2, :w2] = False
+        assert np.abs(u_p[pad_mask]).max() < 1e-4 * scale
 
     def test_clamp_cast_pallas(self):
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import clamp_cast_pallas
@@ -247,10 +255,15 @@ class TestServeChainPallas:
             dest = jnp.asarray(np.transpose(
                 sky[top : top + bh, left : left + bw], (2, 0, 1)).astype(np.uint8))
             patch = jnp.asarray(np.transpose(st["patch"], (2, 0, 1)).astype(np.uint8))
-            g_t = preprocess_rhs_transposed_pallas(
-                dest, patch, jnp.asarray(st["mask_roi"]), flags=flags, interpret=True)
+            g_tp = np.asarray(preprocess_rhs_transposed_pallas(
+                dest, patch, jnp.asarray(st["mask_roi"]), flags=flags, interpret=True))
             want = np.transpose(st["rhs"], (2, 1, 0))  # (C, W-2, H-2)
-            np.testing.assert_allclose(np.asarray(g_t), want, atol=1e-3)
+            w2, h2 = want.shape[1], want.shape[2]
+            np.testing.assert_allclose(g_tp[:, :w2, :h2], want, atol=1e-3)
+            # padding must be EXACTLY zero (the padded-GEMM chain needs it)
+            pad_mask = np.ones(g_tp.shape, bool)
+            pad_mask[:, :w2, :h2] = False
+            assert not g_tp[pad_mask].any()
 
     def _interp_mocks(self):
         """Patch every kernel of the serve chain to interpret mode."""
