@@ -132,8 +132,9 @@ class SeamlessClone:
 
     # -- compilation cache ---------------------------------------------------
 
-    def _compiled(self, src_shape, dst_shape, bbox_hw, flags):
-        key = (src_shape, dst_shape, bbox_hw, flags, self.config.cache_key_extras())
+    def _compiled(self, src_shape, dst_shape, bbox_hw, flags, planar_dst=False):
+        key = (src_shape, dst_shape, bbox_hw, flags, planar_dst,
+               self.config.cache_key_extras())
         fn = self._cache.get(key)
         if fn is None:
             solver = SOLVERS[self.config.solver]
@@ -148,6 +149,7 @@ class SeamlessClone:
                     use_pallas_post=(self.config.use_pallas_postprocess
                                      and self.config.solver == "dst_gemm"),
                     mixed_rule=self.config.mixed_rule,
+                    planar_dst=planar_dst,
                 ),
                 donate_argnums=(1,) if self.config.donate_dst else (),
             )
@@ -308,13 +310,21 @@ class SeamlessClone:
         prep = self._prepare(mask, src.shape, dst.shape, center)
         assert prep is not None, "empty mask"
         m, (x0, y0), (left, top), (bh, bw) = prep
-        fn = self._compiled(src.shape, dst.shape, (bh, bw), flags)
+        # the serve loop keeps the chained destination PLANAR on device
+        # (the reference's RGBP planar-buffers lesson, PDF §2.2.2): the
+        # per-frame interleave<->planar conversions and the interleaved
+        # minor-dim-3 paste disappear; converted once at entry/exit here
+        fn = self._compiled(src.shape, (3,) + dst.shape[:2], (bh, bw), flags,
+                            planar_dst=True)
+        import jax.numpy as jnp
+
+        to_planar = jax.jit(lambda d: jnp.transpose(d, (2, 0, 1)))
+        to_inter = jax.jit(lambda d: jnp.transpose(d, (1, 2, 0)))
         src_d = self._track(jax.device_put(src, self.device))
-        out = self._track(jax.device_put(dst, self.device))
+        out = to_planar(self._track(jax.device_put(dst, self.device)))
         m_d = self._track(jax.device_put(m, self.device))
         bxy = jax.device_put(np.array([x0, y0], np.int32), self.device)
         lt = jax.device_put(np.array([left, top], np.int32), self.device)
-        import jax.numpy as jnp
 
         sync = jax.jit(lambda x: jnp.max(x))  # block_until_ready can lie via tunnels
         out = fn(src_d, out, m_d, bxy, lt)  # warm-up / compile
@@ -331,7 +341,7 @@ class SeamlessClone:
 
         # two passes, take the faster: tunnel latency spikes are one-sided noise
         mean_ms = min(one_pass(), one_pass())
-        self._track(out)
+        out = self._track(to_inter(out))
         self.metrics["compute_ms"] = mean_ms
         self.metrics["sync_overhead_ms"] = rpc_ms
         self.metrics["device_memory_bytes"] = self.device_memory_bytes()

@@ -47,6 +47,7 @@ def clone_roi(
     use_pallas_post: bool = False,
     mixed_rule: str = "opencv",
     return_inset: bool = False,
+    guarded: bool = False,
 ):
     """Clone on a pre-cropped ROI. All planar (C, H, W) u8 / (H, W) u8 mask.
 
@@ -59,7 +60,9 @@ def clone_roi(
     a ``(blended, inset)`` pair where the fast path may return just the
     solved INTERIOR (inset 1): its border ring is identical to the
     destination, so the caller can paste at (+inset, +inset) and skip the
-    dest-blend entirely.
+    dest-blend entirely. With ``guarded=True`` on the fast path, inset is
+    the string "guarded" and the array is the guarded padded slab for
+    paste_interior_pallas (the planar serve loop's tile-local paste).
     """
     solver_kwargs = solver_kwargs or {}
     if not _pallas_backend_available():
@@ -87,7 +90,10 @@ def clone_roi(
             # the HBM roofline and every inter-stage slice costs a copy),
             # and the solved interior casts to u8 in one final strip pass —
             # no dest blend (border ring == dest already)
-            from seamlesscloneoptimization_tpu.ops.pallas_kernels import clamp_cast_pallas
+            from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+                clamp_cast_guarded_pallas,
+                clamp_cast_pallas,
+            )
             from seamlesscloneoptimization_tpu.solvers.dst_gemm import solve_dst_gemm_pl
 
             h2, w2 = dest_roi_u8.shape[1] - 2, dest_roi_u8.shape[2] - 2
@@ -95,6 +101,8 @@ def clone_roi(
                 dest_roi_u8, patch_in, mask_roi, kflags, mixed_rule)
             u = solve_dst_gemm_pl(g_tp, h2=h2, w2=w2,
                                   precision=solver_kwargs.get("precision", "highest"))
+            if guarded and return_inset:
+                return clamp_cast_guarded_pallas(u), "guarded"
             interior = clamp_cast_pallas(u, out_hw=(h2, w2))
             if return_inset:
                 return interior, 1
@@ -142,19 +150,26 @@ def clone_pipeline(
     use_pallas_pre: bool = False,
     use_pallas_post: bool = False,
     mixed_rule: str = "opencv",
+    planar_dst: bool = False,
 ):
     """Full-image clone. Static: shapes, bbox_hw, flags, solver. Traced: offsets.
 
     Args:
       src: (hs, ws, C) uint8 source image (interleaved, as loaded).
-      dst: (hd, wd, C) uint8 destination image.
+      dst: (hd, wd, C) uint8 destination image — or, with ``planar_dst=True``,
+        (C, hd, wd) planar. The serve loop chains frames on-device; keeping
+        the destination planar across frames removes the per-frame
+        interleave/de-interleave and the interleaved-minor-dim paste
+        (~0.6 ms at 2400x1552) — the reference's own planar-buffers lesson
+        (RGBI->RGBP, PDF §2.2.2; its device buffers stay planar between
+        kernels too). Convert once at loop entry/exit.
       mask: (hs, ws) uint8 mask.
       bbox_xy: (2,) int32 [x0, y0] of the mask bounding box (traced).
       left_top: (2,) int32 [left, top] paste position in dst (traced).
       bbox_hw: (bh, bw) static bounding-box size.
       flags: NORMAL_CLONE | MIXED_CLONE | MONOCHROME_TRANSFER (static).
 
-    Returns (hd, wd, C) uint8 blended image.
+    Returns the blended image in the same layout as ``dst``.
     """
     bh, bw = bbox_hw
     c = src.shape[2]
@@ -166,7 +181,11 @@ def clone_pipeline(
     # full destination (the full-image planar convert costs more than the
     # whole Poisson solve at 4K+ sizes).
     src_roi = jax.lax.dynamic_slice(src, (y0, x0, jnp.int32(0)), (bh, bw, c))
-    dest_roi = jax.lax.dynamic_slice(dst, (top, left, jnp.int32(0)), (bh, bw, c))
+    if planar_dst:
+        dest_p = jax.lax.dynamic_slice(dst, (jnp.int32(0), top, left), (c, bh, bw))
+    else:
+        dest_roi = jax.lax.dynamic_slice(dst, (top, left, jnp.int32(0)), (bh, bw, c))
+        dest_p = interleaved_to_planar(dest_roi).astype(jnp.uint8)
 
     # binarize + 1-px frame-zero of the mask (ref: setMaskBoundaryToConstant),
     # computed ON THE ROI SLICE with global coordinates — the host prep has
@@ -180,15 +199,26 @@ def clone_pipeline(
     mask_roi = jnp.where(frame, jnp.uint8(0), mask_roi)
 
     src_p = interleaved_to_planar(src_roi).astype(jnp.uint8)  # (C, bh, bw) u8
-    dest_p = interleaved_to_planar(dest_roi).astype(jnp.uint8)
     patch = jnp.where(mask_roi[None] != 0, src_p, jnp.uint8(0))
 
     blended_roi, inset = clone_roi(
         dest_p, patch, mask_roi, flags, solver, solver_kwargs,
         use_pallas_pre=use_pallas_pre, use_pallas_post=use_pallas_post,
-        mixed_rule=mixed_rule, return_inset=True,
+        mixed_rule=mixed_rule, return_inset=True, guarded=planar_dst,
     )
 
+    if planar_dst:
+        if inset == "guarded":
+            # tile-local Pallas paste: XLA's dus re-materializes ~4x the
+            # touched bytes (measured 0.4-0.47 ms for this 11 MB update)
+            from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+                paste_interior_pallas,
+            )
+
+            return paste_interior_pallas(
+                dst, blended_roi, top + 1, left + 1, bh - 2, bw - 2)
+        return jax.lax.dynamic_update_slice(
+            dst, blended_roi, (jnp.int32(0), top + inset, left + inset))
     out_roi = planar_to_interleaved(blended_roi)  # (bh-2*inset, bw-2*inset, C)
     return jax.lax.dynamic_update_slice(
         dst, out_roi, (top + inset, left + inset, jnp.int32(0)))

@@ -459,7 +459,15 @@ def preprocess_rhs_pallas(
 
 
 def _erode3_kernel(mask_ref, out_ref, *, th, h, w, wp):
-    """3x binary 3x3 erosion of the {0,1} mask, strip-tiled, u8 in/out."""
+    """3x binary 3x3 erosion of the {0,1} mask, strip-tiled, u8 in/out.
+
+    3 iterations of a 3x3 square erosion == one 7x7 square erosion
+    (structuring elements compose), which is SEPARABLE: a radius-3 vertical
+    min then a radius-3 horizontal min, each built log-style (radius-1 min,
+    then min with its +-2 shifts) — 8 shifted mins instead of the naive 27,
+    ~3x less VPU work (this kernel is compute-bound, 0.18 ms at 2400x1552).
+    Zero padding/out-of-domain zeros propagate identically through min.
+    """
     i = pl.program_id(0)
     m = _M
     rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
@@ -467,16 +475,23 @@ def _erode3_kernel(mask_ref, out_ref, *, th, h, w, wp):
     in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
     msk = mask_ref[:].astype(jnp.int32).astype(jnp.float32) * in_dom
 
-    def erode(x):
-        xp = jnp.pad(x, ((1, 1), (1, 1)))
-        out = x
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                out = jnp.minimum(out, xp[1 + dy : 1 + dy + x.shape[0],
-                                          1 + dx : 1 + dx + x.shape[1]])
-        return out
+    def min_r3(x, axis):
+        def sh(a, d):  # shift by d along axis, zero-fill
+            pad = [(0, 0), (0, 0)]
+            if d > 0:
+                pad[axis] = (d, 0)
+                sl = [slice(None)] * 2
+                sl[axis] = slice(0, a.shape[axis] - d)
+            else:
+                pad[axis] = (0, -d)
+                sl = [slice(None)] * 2
+                sl[axis] = slice(-d, a.shape[axis])
+            return jnp.pad(a[tuple(sl)], pad)
 
-    me = erode(erode(erode(msk)))
+        m1 = jnp.minimum(x, jnp.minimum(sh(x, 1), sh(x, -1)))
+        return jnp.minimum(m1, jnp.minimum(sh(m1, 2), sh(m1, -2)))
+
+    me = min_r3(min_r3(msk, 0), 1)
     out_ref[:] = me[m : m + th, :].astype(jnp.int32).astype(jnp.uint8)
 
 
@@ -784,5 +799,117 @@ def clamp_cast_pallas(u: jnp.ndarray, out_hw: tuple[int, int] | None = None,
     )(up)
     oh, ow = out_hw if out_hw is not None else (h2, w2)
     return out[:, :oh, :ow]
+
+
+def clamp_cast_guarded_pallas(u: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Like clamp_cast_pallas but emits into a GUARDED slab for the paste.
+
+    Output (C, 128 + HP + 128, 128 + WP + 128) u8 with the cast data written
+    at block offset (+1, +1); the one-block guard ring is left UNWRITTEN
+    (uninitialized — paste_interior_pallas's overlapping read windows may
+    touch it but every such value is masked out by its in-range select).
+    The guard ring costs no DMA; it only exists so the paste kernel's
+    2x-overlapping windows never index out of bounds.
+    """
+    c, hp, wp = u.shape
+    th = 128
+    assert hp % th == 0 and wp % 128 == 0, (hp, wp)
+    out = pl.pallas_call(
+        _clamp_cast_kernel,
+        grid=(c, hp // th, wp // 128),
+        in_specs=[pl.BlockSpec((1, th, 128), lambda ci, i, j: (ci, i, j))],
+        out_specs=pl.BlockSpec((1, th, 128), lambda ci, i, j: (ci, i + 1, j + 1)),
+        out_shape=jax.ShapeDtypeStruct((c, hp + 2 * th, wp + 256), jnp.uint8),
+        interpret=interpret,
+    )(u)
+    return out
+
+
+def _paste_kernel(s_ref, int_ref, dstin_ref, out_ref, *, th, h2, w2, hd, wd):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    top1 = s_ref[0]
+    left1 = s_ref[1]
+    br = jnp.minimum(top1 // th + i, (hd + th - 1) // th - 1)
+    bc = jnp.minimum(left1 // 128 + j, (wd + 127) // 128 - 1)
+    r0 = br * th
+    c0 = bc * 128
+    dy = top1 % th
+    dx = left1 % 128
+    # Mosaic's dynamic rotate is 32-bit only: hop the u8 window through i32
+    w_ = int_ref[0].astype(jnp.int32)                 # (2*th, 256)
+    # out row k <- window row k+th-dy: roll by (dy-th) mod 2th = dy+th (>=0)
+    rows_sft = pltpu.roll(w_, dy + th, axis=0)[:th]
+    blk = pltpu.roll(rows_sft, dx + 128, axis=1)[:, :128].astype(jnp.uint8)
+    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (th, 128), 0)
+    cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (th, 128), 1)
+    in_r = ((rows >= top1) & (rows < top1 + h2)
+            & (cols >= left1) & (cols < left1 + w2))
+    out_ref[0] = jnp.where(in_r, blk, dstin_ref[0])
+
+
+def paste_interior_pallas(
+    dst_p: jnp.ndarray,
+    interior_g: jnp.ndarray,
+    top1,
+    left1,
+    h2: int,
+    w2: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Paste the solved interior into the planar destination, in place.
+
+    XLA's dynamic-update-slice runs at ~25-50 GB/s for multi-MB regions on
+    this target (measured: 0.40-0.47 ms for an 11 MB u8 paste even when
+    tile-aligned and donated) — it re-materializes far more than the
+    touched tiles. This kernel updates ONLY the covering tiles: for each
+    128x128 destination block it reads the (2x128, 2x128) guarded-interior
+    window that can contain its data, shifts it into place with dynamic
+    lane/sublane rotates (the paste offset is a traced scalar, prefetched
+    into SMEM), selects in-range pixels and writes the block back through
+    an input/output alias. Ref: the scatter half of ``post_processing``
+    (seamlessClone_imp.cpp:2095, writing the ROI into ucRGB_Output).
+
+    dst_p: (C, Hd, Wd) u8 planar destination (donated/aliased).
+    interior_g: guarded slab from clamp_cast_guarded_pallas, data =
+      (h2, w2) interior at its origin.
+    top1/left1: traced int32 paste offsets (top+1, left+1).
+    """
+    c, hd, wd = dst_p.shape
+    th = 128
+    hp = interior_g.shape[1] - 2 * th
+    wp = interior_g.shape[2] - 256
+    nbr = hp // th + 1
+    nbc = wp // 128 + 1
+    s = jnp.stack([jnp.asarray(top1, jnp.int32), jnp.asarray(left1, jnp.int32)])
+
+    def dst_map(ci, i, j, s_ref):
+        br = jnp.minimum(s_ref[0] // th + i, (hd + th - 1) // th - 1)
+        bc = jnp.minimum(s_ref[1] // 128 + j, (wd + 127) // 128 - 1)
+        return (ci, br, bc)
+
+    def win_map(ci, i, j, s_ref):
+        br = jnp.minimum(s_ref[0] // th + i, (hd + th - 1) // th - 1)
+        bc = jnp.minimum(s_ref[1] // 128 + j, (wd + 127) // 128 - 1)
+        rel_r = br - s_ref[0] // th
+        rel_c = bc - s_ref[1] // 128
+        return (ci, pl.multiple_of(rel_r * th, 8), pl.multiple_of(rel_c * 128, 128))
+
+    return pl.pallas_call(
+        partial(_paste_kernel, th=th, h2=h2, w2=w2, hd=hd, wd=wd),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(c, nbr, nbc),
+            in_specs=[
+                pl.BlockSpec((pl.Element(1), pl.Element(2 * th), pl.Element(256)),
+                             win_map),
+                pl.BlockSpec((1, th, 128), dst_map),
+            ],
+            out_specs=pl.BlockSpec((1, th, 128), dst_map),
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, hd, wd), jnp.uint8),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(s, interior_g, dst_p)
 
 

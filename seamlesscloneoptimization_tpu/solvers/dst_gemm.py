@@ -193,11 +193,17 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
     c, wp, hp = g_tp.shape
     vhp = dst_matrix_padded(h2, hp)
     vwp = dst_matrix_padded(w2, wp)
+    hi = lambda a, v: _mm(a, v, _PRECISIONS["high"])  # noqa: E731
+    lo = lambda a, v: _mm_2x(a, v, "2x_v")  # noqa: E731
     if precision in ("2x_img", "2x_v"):
-        mm = lambda a, v: _mm_2x(a, v, precision)  # noqa: E731
+        mm = mm_inv = lambda a, v: _mm_2x(a, v, precision)  # noqa: E731
+    elif precision == "fwd2x":  # forward transform 2-pass, inverse 3-pass
+        mm, mm_inv = lo, hi
+    elif precision == "inv2x":  # forward 3-pass, inverse 2-pass
+        mm, mm_inv = hi, lo
     else:
         prec = _PRECISIONS[precision]
-        mm = lambda a, v: _mm(a, v, prec)  # noqa: E731
+        mm = mm_inv = lambda a, v: _mm(a, v, prec)  # noqa: E731
     # forward: ghat = Vh G Vw, held transposed between the two multiplies
     s1 = mm(g_tp, vhp)                   # (C,WP,HP) = (Vh G)^T
     tr1 = transpose_pallas(s1, interpret=interpret)   # (C,HP,WP) = Vh G
@@ -207,9 +213,9 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
                            lam_b=dst_eigenvalues_padded(w2, wp),
                            interpret=interpret)       # (C,WP,HP) = uhat^T
     # inverse: u = Vh uhat Vw
-    s4 = mm(tr2, vhp)                    # (C,WP,HP) = (Vh uhat)^T
+    s4 = mm_inv(tr2, vhp)                # (C,WP,HP) = (Vh uhat)^T
     tr3 = transpose_pallas(s4, interpret=interpret)   # (C,HP,WP) = Vh uhat
-    return mm(tr3, vwp)                  # (C,HP,WP) = u (padded)
+    return mm_inv(tr3, vwp)              # (C,HP,WP) = u (padded)
 
 
 @partial(jax.jit, static_argnames=("transform_only", "precision",

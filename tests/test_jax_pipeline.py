@@ -73,6 +73,35 @@ class TestEngine:
         assert ms > 0
         assert "compute_ms" in eng.metrics
 
+    def test_planar_pipeline_matches_interleaved(self, airplane, sky, irregular_mask):
+        """The serve loop's planar-destination pipeline must produce the
+        same image as the interleaved one (single application)."""
+        import jax.numpy as jnp
+
+        from seamlesscloneoptimization_tpu.core.engine import prepare_inputs
+
+        eng = SeamlessClone(CloneConfig(solver="dst_gemm"))
+        want = np.asarray(eng.run(airplane, sky, irregular_mask.copy(), (700, 300)))
+        m, (x0, y0), (left, top), (bh, bw) = prepare_inputs(
+            irregular_mask.copy(), airplane.shape, sky.shape, (700, 300))
+        fn = eng._compiled(airplane.shape, (3,) + sky.shape[:2], (bh, bw), 1,
+                           planar_dst=True)
+        out_p = fn(jnp.asarray(airplane), jnp.transpose(jnp.asarray(sky), (2, 0, 1)),
+                   jnp.asarray(m), np.array([x0, y0], np.int32),
+                   np.array([left, top], np.int32))
+        got = np.asarray(jnp.transpose(out_p, (1, 2, 0)))
+        assert np.array_equal(got, want)
+
+    def test_timed_serve_returns_valid_frame(self, airplane, sky, full_mask):
+        """timed_serve chains planar frames on device; the returned image
+        must still be a plausible interleaved blend (untouched outside ROI)."""
+        eng = SeamlessClone(CloneConfig(solver="dst_gemm", donate_dst=False))
+        out, ms = eng.timed_serve(airplane, sky, full_mask.copy(), (800, 150), loops=1)
+        out = np.asarray(out)
+        assert ms > 0
+        assert out.shape == sky.shape
+        assert np.array_equal(out[0], sky[0])  # first row outside the ROI
+
     def test_per_instance_memory_accounting(self, airplane, sky, full_mask):
         """device_memory_bytes is per-engine (ref: SCImage::mOccupy): a second
         engine's traffic must not inflate the first engine's number."""

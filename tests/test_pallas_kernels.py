@@ -230,6 +230,30 @@ class TestServeChainPallas:
         pad_mask[:, :h2, :w2] = False
         assert np.abs(u_p[pad_mask]).max() < 1e-4 * scale
 
+    @pytest.mark.parametrize("off", [(55, 201), (128, 256), (1, 1), (7, 127)])
+    def test_paste_interior_pallas(self, off):
+        """Pallas tile-local paste == dynamic_update_slice of the interior."""
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            clamp_cast_guarded_pallas,
+            paste_interior_pallas,
+        )
+
+        top1, left1 = off
+        h2, w2 = 130, 260
+        rng = np.random.default_rng(top1)
+        dst = rng.integers(0, 256, (3, 300, 520)).astype(np.uint8)
+        u = rng.normal(size=(3, h2, w2)).astype(np.float32) * 160 + 90
+        up = jnp.asarray(np.pad(u, ((0, 0), (0, 128 * ((h2 + 127) // 128) - h2),
+                                    (0, 128 * ((w2 + 127) // 128) - w2))))
+        ig = clamp_cast_guarded_pallas(up, interpret=True)
+        got = np.asarray(paste_interior_pallas(
+            jnp.asarray(dst), ig, jnp.int32(top1), jnp.int32(left1),
+            h2, w2, interpret=True))
+        want = dst.copy()
+        want[:, top1 : top1 + h2, left1 : left1 + w2] = (
+            np.clip(u, 0, 255).astype(np.int32).astype(np.uint8))
+        assert np.array_equal(got, want)
+
     def test_clamp_cast_pallas(self):
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import clamp_cast_pallas
 
@@ -276,7 +300,8 @@ class TestServeChainPallas:
 
         patches = []
         for name in ("preprocess_rhs_transposed_pallas", "erode3_pallas",
-                     "transpose_pallas", "clamp_cast_pallas"):
+                     "transpose_pallas", "clamp_cast_pallas",
+                     "clamp_cast_guarded_pallas", "paste_interior_pallas"):
             patches.append(mock.patch.object(PK, name, force_interp(getattr(PK, name))))
         return patches
 
@@ -341,3 +366,37 @@ class TestServeChainPallas:
         assert diff.max() <= 1, diff.max()
         # everything outside the ROI interior is untouched destination
         assert np.array_equal(out[0, :, :], sky[0, :, :])
+
+    def test_planar_full_pallas_serve_matches(self, airplane, sky, irregular_mask):
+        """The planar serve step (full-Pallas chain + tile-local Pallas
+        paste) must match the plain engine within 1 LSB."""
+        import contextlib
+        from unittest import mock
+
+        import jax.numpy as jnp
+
+        from seamlesscloneoptimization_tpu.core.config import CloneConfig
+        from seamlesscloneoptimization_tpu.core.engine import SeamlessClone, prepare_inputs
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+
+        eng = SeamlessClone(CloneConfig(
+            use_pallas_preprocess=True, use_pallas_postprocess=True))
+        m, (x0, y0), (left, top), (bh, bw) = prepare_inputs(
+            irregular_mask.copy(), airplane.shape, sky.shape, (700, 300))
+        with contextlib.ExitStack() as es:
+            for p in self._interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            fn = eng._compiled(airplane.shape, (3,) + sky.shape[:2], (bh, bw), 1,
+                               planar_dst=True)
+            out_p = fn(jnp.asarray(airplane),
+                       jnp.transpose(jnp.asarray(sky), (2, 0, 1)),
+                       jnp.asarray(m), np.array([x0, y0], np.int32),
+                       np.array([left, top], np.int32))
+            got = np.asarray(jnp.transpose(out_p, (1, 2, 0)))
+        want = np.asarray(SeamlessClone(CloneConfig()).run(
+            airplane, sky, irregular_mask.copy(), (700, 300)))
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+        assert np.array_equal(got[0, :, :], sky[0, :, :])
