@@ -68,6 +68,37 @@ def accuracy_check(eng):
     return int(jnp.sum(diff)), int(jnp.max(diff))
 
 
+def pallas_parity_check(eng):
+    """On-TPU Mosaic-vs-XLA cross-check (ref: the with-FFT vs with-GEMM
+    cross-check discipline, PDF §1.1 table).
+
+    The interpret-mode unit tests validate kernel *semantics* on CPU; this
+    validates the actual Mosaic lowering on the chip: the same inputs run
+    through the full-Pallas engine (``eng``) and a pure-XLA engine, and the
+    bench FAILS LOUDLY if they disagree by more than 1 LSB (the two paths
+    accumulate the DST GEMMs in different orders, so bit-equality is not
+    guaranteed, but any Mosaic miscompile shows up as a gross diff).
+    """
+    import cv2
+    import jax.numpy as jnp
+
+    from seamlesscloneoptimization_tpu.core.config import CloneConfig
+    from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+
+    a = cv2.imread("/root/reference/seamlessClone-OpenCV/images/airplane.jpg")
+    s = cv2.imread("/root/reference/seamlessClone-OpenCV/images/sky.jpg")
+    m = np.full(a.shape[:2], 255, np.uint8)
+    xla_eng = SeamlessClone(CloneConfig(solver="dst_gemm", precision="high"))
+    got_pl = eng.run(a, s, m.copy(), (800, 150))
+    got_xla = xla_eng.run(a, s, m.copy(), (800, 150))
+    diff = jnp.abs(got_pl.astype(jnp.int32) - got_xla.astype(jnp.int32))
+    dmax = int(jnp.max(diff))
+    if dmax > 1:
+        raise AssertionError(
+            f"Pallas (Mosaic) output diverged from the XLA path: diff_max={dmax}")
+    return dmax
+
+
 def main():
     solver = sys.argv[1] if len(sys.argv) > 1 else "dst_gemm"
     loops = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -99,6 +130,7 @@ def main():
     mp = src.shape[0] * src.shape[1] / 1e6
     mps = mp / (serve_ms / 1e3)
     diff_sum, diff_max = accuracy_check(eng)
+    parity_max = pallas_parity_check(eng) if solver == "dst_gemm" else None
 
     print(
         json.dumps(
@@ -118,6 +150,7 @@ def main():
                     "device_memory_bytes": eng.metrics.get("device_memory_bytes", 0),
                     "accuracy_300x194_diff_sum": diff_sum,
                     "accuracy_300x194_diff_max": diff_max,
+                    "pallas_vs_xla_on_tpu_diff_max": parity_max,
                     "baseline_mps_v100_fft": round(BASELINE_MPS_V100_2400, 1),
                     "device": str(eng.device),
                     "loops": loops,
