@@ -226,20 +226,23 @@ def _mg_down_kernel(u_ref, g_ref, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
     rh_ref[0] = out
 
 
-@partial(jax.jit, static_argnames=("nu1", "bh", "bw", "interpret"))
+@partial(jax.jit, static_argnames=("nu1", "bh", "bw", "interpret", "th"))
 def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
-                   bh: float = 1.0, bw: float = 1.0, interpret: bool = False):
+                   bh: float = 1.0, bw: float = 1.0, interpret: bool = False,
+                   th: int | None = None):
     """Fused V-cycle descent: nu1 sweeps + residual + row-restrict, one pass.
 
     (C, H, W) f32 -> (swept u (C, H, W), row-restricted residual
     (C, (H-1)//2, W)). The caller applies the lane-direction restriction
     (multigrid._restrict_axis) and the 4x coarse-RHS scaling on the
     half-height output. nu1 must be <= 2 (ghost-band staleness budget).
+    ``th`` overrides the strip height (multiple of 16; tuning knob).
     """
     assert 0 <= nu1 <= 2, nu1
     c, h, w = u.shape
     wp = _round_up(w, 128)
-    th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
+    if th is None:
+        th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
     hp = _round_up(h, th)
     pad = ((0, 0), (_M, hp - h + _M), (0, wp - w))
     up = jnp.pad(u, pad)
@@ -312,22 +315,24 @@ def _coarse_halo_spec(thc: int, wp: int):
     )
 
 
-@partial(jax.jit, static_argnames=("nu2", "bh", "bw", "interpret"))
+@partial(jax.jit, static_argnames=("nu2", "bh", "bw", "interpret", "th"))
 def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
                  nu2: int = 2, bh: float = 1.0, bw: float = 1.0,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False, th: int | None = None) -> jnp.ndarray:
     """Fused V-cycle ascent: row-prolong of the lane-prolonged coarse
     correction + add + nu2 sweeps, one pass.
 
     e_lane: (C, (H-1)//2, W) — the coarse correction already prolonged along
     the lane axis by multigrid._prolong_axis. nu2 <= 4.
+    ``th`` overrides the strip height (multiple of 16; tuning knob).
     """
     assert 0 <= nu2 <= 4, nu2
     c, h, w = u.shape
     hc = (h - 1) // 2
     assert e_lane.shape == (c, hc, w), (e_lane.shape, u.shape)
     wp = _round_up(w, 128)
-    th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
+    if th is None:
+        th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
     hp = _round_up(h, th)
     pad = ((0, 0), (_M, hp - h + _M), (0, wp - w))
     up = jnp.pad(u, pad)
