@@ -77,25 +77,32 @@ def _halo_spec_2d(th: int, wp: int):
 
 
 def _rb_strip_kernel(u_ref, g_ref, out_ref, *, n_sweeps, th, h, w, wp):
-    """One (TH, Wp) strip: k sweeps inside the ghosted window, write center."""
+    """One (TH, Wp) strip: k sweeps inside the ghosted window, write center.
+
+    Select-form sweeps on boolean masks (see solvers/jacobi.py
+    redblack_sweep): the inputs arrive zero-padded outside the domain and
+    the color masks exclude out-of-domain points, so padding stays zero
+    through every half-sweep with no f32 mask multiplies at all.
+    """
     i = pl.program_id(1)
     m = _M
     rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
-    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
-    red = jnp.where((rows + cols) % 2 == 0, in_dom, 0.0)
-    black = in_dom - red
+    in_dom = (rows >= 0) & (rows < h) & (cols < w)
+    par = (rows + cols) % 2 == 0
+    red = par & in_dom
+    black = (~par) & in_dom
 
-    g = g_ref[0] * in_dom
-    u = u_ref[0] * in_dom
+    g = g_ref[0]
+    u = u_ref[0]
 
     def nsum(x):
         xp = jnp.pad(x, ((1, 1), (1, 1)))
         return xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:]
 
     def body(_, x):
-        x = x + red * ((nsum(x) - g) * 0.25 - x)
-        x = x + black * ((nsum(x) - g) * 0.25 - x)
+        x = jnp.where(red, (nsum(x) - g) * 0.25, x)
+        x = jnp.where(black, (nsum(x) - g) * 0.25, x)
         return x
 
     u = jax.lax.fori_loop(0, n_sweeps, body, u)
@@ -193,23 +200,24 @@ def _mg_down_kernel(u_ref, g_ref, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
     m = _M
     rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
-    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
-    red = jnp.where((rows + cols) % 2 == 0, in_dom, 0.0)
-    black = in_dom - red
+    in_dom = (rows >= 0) & (rows < h) & (cols < w)
+    par = (rows + cols) % 2 == 0
+    red = par & in_dom
+    black = (~par) & in_dom
 
-    g = g_ref[0] * in_dom
-    u = u_ref[0] * in_dom
+    g = g_ref[0]  # zero-padded outside the domain by the launcher
+    u = u_ref[0]
 
     nsum, inv_d, diag = _level_ops(rows, cols, h, w, bh, bw)
     for _ in range(nu1):
-        u = u + red * ((nsum(u) - g) * inv_d - u)
-        u = u + black * ((nsum(u) - g) * inv_d - u)
+        u = jnp.where(red, (nsum(u) - g) * inv_d, u)
+        u = jnp.where(black, (nsum(u) - g) * inv_d, u)
     uo_ref[0] = u[m : m + th, :]
 
     # Residual is valid over the slab [m, m+th+2) for nu1 <= 2 (the staleness
     # wavefront advances 2 rows per sweep from each window edge, +1 for the
     # neighbor sum: 2*nu1+1 <= m on top, 2*nu1+1 <= m-1 below the owned strip).
-    r = (g - (nsum(u) - diag * u)) * in_dom
+    r = jnp.where(in_dom, g - (nsum(u) - diag * u), 0.0)
     s = r[m : m + th + 2, :].reshape(th // 2 + 1, 2, wp)
     a, b = s[:, 0, :], s[:, 1, :]  # fine rows i*th+2k / i*th+2k+1
     nhc = th // 2
@@ -273,12 +281,13 @@ def _mg_up_kernel(u_ref, g_ref, e_ref, uo_ref, *, nu2, th, h, w, wp, h_even,
     m = _M
     rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
-    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
-    red = jnp.where((rows + cols) % 2 == 0, in_dom, 0.0)
-    black = in_dom - red
+    in_dom = (rows >= 0) & (rows < h) & (cols < w)
+    par = (rows + cols) % 2 == 0
+    red = par & in_dom
+    black = (~par) & in_dom
 
-    g = g_ref[0] * in_dom
-    u = u_ref[0] * in_dom
+    g = g_ref[0]  # zero-padded outside the domain by the launcher
+    u = u_ref[0]
 
     # e window row j = coarse row i*th/2 - m + j (zero-padded outside the
     # coarse grid). Fine window row t pairs with coarse q = i*th/2 - m/2 + p,
@@ -298,12 +307,12 @@ def _mg_up_kernel(u_ref, g_ref, e_ref, uo_ref, *, nu2, th, h, w, wp, h_even,
         alt = jnp.stack([mids, mids], axis=1).reshape(th + 2 * m, wp)
         corr = jnp.where(rows == h - 2, corr * (2.0 * (1.0 + bh) / gap), corr)
         corr = jnp.where(rows == h - 1, alt * (2.0 * bh / gap), corr)
-    u = u + corr * in_dom
+    u = jnp.where(in_dom, u + corr, u)
 
     nsum, inv_d, _ = _level_ops(rows, cols, h, w, bh, bw)
     for _ in range(nu2):
-        u = u + red * ((nsum(u) - g) * inv_d - u)
-        u = u + black * ((nsum(u) - g) * inv_d - u)
+        u = jnp.where(red, (nsum(u) - g) * inv_d, u)
+        u = jnp.where(black, (nsum(u) - g) * inv_d, u)
     uo_ref[0] = u[m : m + th, :]
 
 

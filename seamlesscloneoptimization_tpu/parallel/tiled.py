@@ -116,13 +116,14 @@ def solve_redblack_tiled(
         # masks over the PADDED (th+2k, tw+2k) tile, in global coordinates
         rows = (r0 - k) + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * k, tw + 2 * k), 0)
         cols = (c0 - k) + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * k, tw + 2 * k), 1)
-        in_dom = ((rows >= 0) & (rows < Ht) & (cols >= 0) & (cols < Wt)).astype(g_loc.dtype)[None]
-        red = (((rows + cols) % 2 == 0).astype(g_loc.dtype))[None] * in_dom
-        black = (((rows + cols) % 2 == 1).astype(g_loc.dtype))[None] * in_dom
+        in_dom = ((rows >= 0) & (rows < Ht) & (cols >= 0) & (cols < Wt))[None]
+        par = ((rows + cols) % 2 == 0)[None]
+        red = par & in_dom
+        black = (~par) & in_dom
 
         # RHS: mask the owned tile, then exchange its halo ONCE (g is static)
         own = in_dom[:, k : k + th, k : k + tw]
-        g_loc = g_loc * own
+        g_loc = jnp.where(own, g_loc, 0.0)
         gp = halo_exchange(g_loc, ty, tx, k)
         gnorm = jnp.max(jnp.abs(g_loc))
         gnorm = jax.lax.pmax(jax.lax.pmax(gnorm, "ty"), "tx")
@@ -130,7 +131,7 @@ def solve_redblack_tiled(
 
         def half_sweep(up, color):
             upd = (_neighbor_sum_padded(jnp.pad(up, ((0, 0), (1, 1), (1, 1)))) - gp) * 0.25
-            return up + color * (upd - up)
+            return jnp.where(color, upd, up)  # select form, see jacobi.redblack_sweep
 
         def ca_round(u):
             """One exchange + s full sweeps on the ghosted tile."""
@@ -142,7 +143,7 @@ def solve_redblack_tiled(
 
         def res_norm(u):
             up = halo_exchange(u, ty, tx, 1)
-            r = (g_loc - (_neighbor_sum_padded(up) - 4.0 * u)) * own
+            r = jnp.where(own, g_loc - (_neighbor_sum_padded(up) - 4.0 * u), 0.0)
             m = jnp.max(jnp.abs(r))
             return jax.lax.pmax(jax.lax.pmax(m, "ty"), "tx")
 

@@ -35,12 +35,20 @@ def _checkerboard(h: int, w: int, parity: int, dtype=jnp.float32) -> jnp.ndarray
 
 
 def redblack_sweep(u: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """One full red-black Gauss-Seidel sweep (red half then black half)."""
+    """One full red-black Gauss-Seidel sweep (red half then black half).
+
+    Select form (``where`` on a boolean checkerboard) rather than the blend
+    form ``u + mask*(upd - u)``: 2 fewer VPU passes per half-sweep, no
+    f32 mask materialization, and the written value is exactly ``upd``
+    (the blend form re-rounds through the add/subtract pair). All sweep
+    implementations (XLA, Pallas strips, shard_map tiles) use this same
+    form so they stay bitwise-identical to each other.
+    """
     _, h, w = u.shape
-    red = _checkerboard(h, w, 0)[None]
-    black = _checkerboard(h, w, 1)[None]
-    u = u + red * ((_neighbor_sum(u) - g) * 0.25 - u)
-    u = u + black * ((_neighbor_sum(u) - g) * 0.25 - u)
+    red = _checkerboard(h, w, 0, jnp.bool_)[None]
+    black = _checkerboard(h, w, 1, jnp.bool_)[None]
+    u = jnp.where(red, (_neighbor_sum(u) - g) * 0.25, u)
+    u = jnp.where(black, (_neighbor_sum(u) - g) * 0.25, u)
     return u
 
 

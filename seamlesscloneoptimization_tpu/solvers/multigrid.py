@@ -231,11 +231,10 @@ def _sweeps_b(u, g, n, bh, bw):
     nsum, inv_d = _ops_b(h, w, bh, bw)
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    red = (((rows + cols) % 2) == 0).astype(jnp.float32)[None]
-    black = 1.0 - red
+    red = (((rows + cols) % 2) == 0)[None]
     for _ in range(n):
-        u = u + red * ((nsum(u) - g) * inv_d - u)
-        u = u + black * ((nsum(u) - g) * inv_d - u)
+        u = jnp.where(red, (nsum(u) - g) * inv_d, u)
+        u = jnp.where(red, u, (nsum(u) - g) * inv_d)
     return u
 
 
