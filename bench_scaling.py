@@ -28,8 +28,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def run_one(n_devices: int, tile: int, sweeps: int) -> dict:
-    """Child-process entry: time `sweeps` red-black sweeps on an n-device mesh."""
+def run_one(n_devices: int, tile: int, sweeps: int, path: str = "redblack") -> dict:
+    """Child-process entry: fixed work per device on an n-device mesh.
+
+    path='redblack': `sweeps` explicit shard_map red-black sweeps (halo=4).
+    path='multigrid': 4 GSPMD-partitioned V(1,2) cycles (fixed-work mode,
+    the serving configuration) — XLA inserts the halo collectives and
+    coarse-level reshards itself (SURVEY §2.18 item 3).
+    """
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -37,7 +43,11 @@ def run_one(n_devices: int, tile: int, sweeps: int) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from seamlesscloneoptimization_tpu.parallel import make_tile_mesh, solve_redblack_tiled
+    from seamlesscloneoptimization_tpu.parallel import (
+        make_tile_mesh,
+        solve_multigrid_sharded,
+        solve_redblack_tiled,
+    )
     from seamlesscloneoptimization_tpu.parallel.mesh import tile_sharding
 
     mesh = make_tile_mesh(jax.devices()[:n_devices])
@@ -48,10 +58,16 @@ def run_one(n_devices: int, tile: int, sweeps: int) -> dict:
         jnp.asarray(rng.normal(size=(3, H, W)).astype(np.float32) * 50), tile_sharding(mesh)
     )
 
-    # fixed work: exactly `sweeps` sweeps (tol=0 never converges early)
-    fn = lambda: solve_redblack_tiled(
-        g, mesh, tol=0.0, max_iters=sweeps, check_every=sweeps, halo=4
-    )
+    if path == "multigrid":
+        work = 4  # cycles; each V(1,2) ~ 4 fine-sweep equivalents of traffic
+        fn = lambda: solve_multigrid_sharded(g, mesh, cycles=work)
+        unit = "mp_cycles_per_s"
+    else:
+        work = sweeps  # fixed work: exactly `sweeps` sweeps (tol=0 never converges)
+        fn = lambda: solve_redblack_tiled(
+            g, mesh, tol=0.0, max_iters=sweeps, check_every=sweeps, halo=4
+        )
+        unit = "mp_sweeps_per_s"
     u = fn()
     jax.block_until_ready(u)  # includes compile
     t0 = time.perf_counter()
@@ -60,12 +76,13 @@ def run_one(n_devices: int, tile: int, sweeps: int) -> dict:
     dt = time.perf_counter() - t0
     mp = H * W / 1e6
     return {
+        "path": path,
         "devices": n_devices,
         "mesh": f"{ty}x{tx}",
         "grid": f"{H}x{W}",
         "megapixels": round(mp, 1),
         "seconds": round(dt, 3),
-        "mp_sweeps_per_s": round(mp * sweeps / dt, 1),
+        unit: round(mp * work / dt, 1),
     }
 
 
@@ -74,35 +91,38 @@ def main():
     p.add_argument("--devices", type=int, default=None, help="run one size (child mode)")
     p.add_argument("--tile", type=int, default=1024)
     p.add_argument("--sweeps", type=int, default=100)
+    p.add_argument("--path", choices=("redblack", "multigrid", "both"), default="both")
     args = p.parse_args()
 
     if args.devices is not None:
-        print(json.dumps(run_one(args.devices, args.tile, args.sweeps)))
+        print(json.dumps(run_one(args.devices, args.tile, args.sweeps, args.path)))
         return
 
-    results = []
-    for n in (1, 2, 4, 8):
-        r = subprocess.run(
-            [sys.executable, __file__, "--devices", str(n), "--tile", str(args.tile),
-             "--sweeps", str(args.sweeps)],
-            capture_output=True, text=True, timeout=1200,
-        )
-        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
-        if not line:
-            print(f"devices={n} FAILED:\n{r.stderr[-2000:]}", file=sys.stderr)
-            continue
-        res = json.loads(line[-1])
-        results.append(res)
-        print(json.dumps(res))
+    paths = ("redblack", "multigrid") if args.path == "both" else (args.path,)
+    for path in paths:
+        results = []
+        for n in (1, 2, 4, 8):
+            r = subprocess.run(
+                [sys.executable, __file__, "--devices", str(n), "--tile", str(args.tile),
+                 "--sweeps", str(args.sweeps), "--path", path],
+                capture_output=True, text=True, timeout=1200,
+            )
+            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+            if not line:
+                print(f"path={path} devices={n} FAILED:\n{r.stderr[-2000:]}", file=sys.stderr)
+                continue
+            res = json.loads(line[-1])
+            results.append(res)
+            print(json.dumps(res))
 
-    if results and results[0]["devices"] == 1:
-        t1 = results[0]["seconds"]
-        for r in results[1:]:
-            r["weak_scaling_efficiency"] = round(t1 / r["seconds"], 3)
-        print(json.dumps({
-            "summary": "weak scaling (virtual CPU mesh; structure/overhead only)",
-            "efficiency": {r["devices"]: r.get("weak_scaling_efficiency") for r in results[1:]},
-        }))
+        if results and results[0]["devices"] == 1:
+            t1 = results[0]["seconds"]
+            for r in results[1:]:
+                r["weak_scaling_efficiency"] = round(t1 / r["seconds"], 3)
+            print(json.dumps({
+                "summary": f"{path} weak scaling (virtual CPU mesh; structure/overhead only)",
+                "efficiency": {r["devices"]: r.get("weak_scaling_efficiency") for r in results[1:]},
+            }))
 
 
 if __name__ == "__main__":

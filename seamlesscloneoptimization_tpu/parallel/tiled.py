@@ -171,17 +171,20 @@ def solve_multigrid_sharded(
     mesh: Mesh,
     tol: float = 1e-4,
     max_cycles: int = 60,
+    cycles: int | None = None,
 ):
     """Multigrid V-cycles under GSPMD spatial sharding.
 
     The same solver as solvers/multigrid.py; XLA's SPMD partitioner turns
     every stencil into tile-local compute + ICI halo exchange. Returns the
     solution with the same (C, 'ty', 'tx') sharding as the input constraint.
+    ``cycles`` selects fixed-work mode (no residual-norm psum per cycle) —
+    the weak-scaling bench uses it for constant work per device.
     """
     sh = tile_sharding(mesh)
     g = jax.lax.with_sharding_constraint(jax.device_put(g, sh), sh)
     fn = jax.jit(
-        partial(solve_multigrid, tol=tol, max_cycles=max_cycles),
+        partial(solve_multigrid, tol=tol, max_cycles=max_cycles, cycles=cycles),
         in_shardings=sh,
         out_shardings=sh,
     )
