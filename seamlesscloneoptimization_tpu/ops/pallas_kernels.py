@@ -72,19 +72,72 @@ def _halo_spec_2d(th: int, wp: int):
 
 
 # ---------------------------------------------------------------------------
+# Blocked-ghost windows: the pipelined alternative to pl.Element overlap
+# ---------------------------------------------------------------------------
+#
+# The stencil kernels need a (th + 2M, wp) window per (th, wp) strip. The
+# pl.Element overlapping-window form above expresses that directly but was
+# measured paying a large per-grid-step cost on hardware (mg_down: 5.06 ms
+# at 3x2798x3798 against a ~0.5 ms DMA roof with th=16 strips). The blocked
+# form uses only STANDARD block specs — a (th, wp) center block plus two
+# M-row ghost blocks indexed from the neighboring strips — which Mosaic
+# double-buffers like any blocked pipeline; the window is assembled in VMEM
+# (one concat) and out-of-domain ghost rows are zeroed in-kernel (index
+# clamping at the grid edges makes the DMA'd edge ghosts carry arbitrary
+# rows; every such row is provably outside [0, h) and zeroed before use).
+# It also removes the +-M host-side row padding: inputs are plain
+# (C, hp, wp) zero-extended arrays, which lets callers keep whole level
+# hierarchies in rounded space with no per-launch pad/crop copies.
+#
+# Mode select: SCL_PALLAS_GHOST=blocked|element (read at TRACE time — set it
+# before the process first compiles; the jit caches do not key on it).
+
+
+def _ghost_blocked() -> bool:
+    import os
+
+    return os.environ.get("SCL_PALLAS_GHOST", "element") == "blocked"
+
+
+def _ghost_specs(th: int, hp: int, wp: int):
+    """(center, top-ghost, bottom-ghost) block specs for a (C, hp, wp) input."""
+    nb = hp // _M  # the ghost specs view the array as M-row blocks
+    r = th // _M
+    return (
+        pl.BlockSpec((1, th, wp), lambda c, i: (c, i, 0)),
+        pl.BlockSpec((1, _M, wp), lambda c, i: (c, jnp.maximum(i * r - 1, 0), 0)),
+        pl.BlockSpec((1, _M, wp), lambda c, i: (c, jnp.minimum((i + 1) * r, nb - 1), 0)),
+    )
+
+
+def _asm_window(i, th: int, h: int, wp: int, ctr_ref, top_ref, bot_ref):
+    """Assemble the (th + 2M, wp) ghosted window from blocked refs.
+
+    Ghost rows outside [0, h) are zeroed: at the grid edges the clamped
+    block indices DMA'd arbitrary in-array rows there, and everywhere else
+    the input is zero-extended so the ``where`` is a no-op.
+    """
+    m = _M
+    rt = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (m, wp), 0)
+    rb = (i + 1) * th + jax.lax.broadcasted_iota(jnp.int32, (m, wp), 0)
+    wtop = jnp.where(rt >= 0, top_ref[0], 0.0)
+    wbot = jnp.where(rb < h, bot_ref[0], 0.0)
+    return jnp.concatenate([wtop, ctr_ref[0], wbot], axis=0)
+
+
+# ---------------------------------------------------------------------------
 # Strip-tiled communication-avoiding red-black sweeps
 # ---------------------------------------------------------------------------
 
 
-def _rb_strip_kernel(u_ref, g_ref, out_ref, *, n_sweeps, th, h, w, wp):
-    """One (TH, Wp) strip: k sweeps inside the ghosted window, write center.
+def _rb_body(u, g, i, *, n_sweeps, th, h, w, wp):
+    """k sweeps inside a (th + 2M, wp) ghosted window; returns the strip.
 
     Select-form sweeps on boolean masks (see solvers/jacobi.py
     redblack_sweep): the inputs arrive zero-padded outside the domain and
     the color masks exclude out-of-domain points, so padding stays zero
     through every half-sweep with no f32 mask multiplies at all.
     """
-    i = pl.program_id(1)
     m = _M
     rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
@@ -92,9 +145,6 @@ def _rb_strip_kernel(u_ref, g_ref, out_ref, *, n_sweeps, th, h, w, wp):
     par = (rows + cols) % 2 == 0
     red = par & in_dom
     black = (~par) & in_dom
-
-    g = g_ref[0]
-    u = u_ref[0]
 
     def nsum(x):
         xp = jnp.pad(x, ((1, 1), (1, 1)))
@@ -106,7 +156,20 @@ def _rb_strip_kernel(u_ref, g_ref, out_ref, *, n_sweeps, th, h, w, wp):
         return x
 
     u = jax.lax.fori_loop(0, n_sweeps, body, u)
-    out_ref[0] = u[m : m + th, :]
+    return u[m : m + th, :]
+
+
+def _rb_strip_kernel(u_ref, g_ref, out_ref, *, n_sweeps, th, h, w, wp):
+    i = pl.program_id(1)
+    out_ref[0] = _rb_body(u_ref[0], g_ref[0], i,
+                          n_sweeps=n_sweeps, th=th, h=h, w=w, wp=wp)
+
+
+def _rb_strip_kernel_b(uc, ut, ub, gc, gt, gb, out_ref, *, n_sweeps, th, h, w, wp):
+    i = pl.program_id(1)
+    u = _asm_window(i, th, h, wp, uc, ut, ub)
+    g = _asm_window(i, th, h, wp, gc, gt, gb)
+    out_ref[0] = _rb_body(u, g, i, n_sweeps=n_sweeps, th=th, h=h, w=w, wp=wp)
 
 
 def _rb_launch(up, gp, n_sweeps, th, h, w, wp, hp, c, interpret):
@@ -121,24 +184,52 @@ def _rb_launch(up, gp, n_sweeps, th, h, w, wp, hp, c, interpret):
     )(up, gp)
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "interpret"))
+def _rb_launch_b(up, gp, n_sweeps, th, h, w, wp, hp, c, interpret):
+    """Blocked-ghost launch on plain (C, hp, wp) buffers -> (C, hp, wp)."""
+    ctr, top, bot = _ghost_specs(th, hp, wp)
+    return pl.pallas_call(
+        partial(_rb_strip_kernel_b, n_sweeps=n_sweeps, th=th, h=h, w=w, wp=wp),
+        grid=(c, hp // th),
+        in_specs=[ctr, top, bot] * 2,
+        out_specs=pl.BlockSpec((1, th, wp), lambda c, i: (c, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(up, up, up, gp, gp, gp)
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "interpret", "th", "blocked"))
 def rb_sweeps_pallas(
     u: jnp.ndarray,
     g: jnp.ndarray,
     n_sweeps: int,
     interpret: bool = False,
+    th: int | None = None,
+    blocked: bool | None = None,
 ):
     """k red-black sweeps over (C, H, W) f32, one HBM round-trip per <=4.
 
     Pads once, launches ceil(k/4) strip-tiled kernels, crops once;
-    bitwise-equivalent to k XLA ``redblack_sweep``s.
+    bitwise-equivalent to k XLA ``redblack_sweep``s. ``th`` overrides the
+    strip height (multiple of 16).
     """
     if n_sweeps < 1:
         return u
+    if blocked is None:
+        blocked = _ghost_blocked()
     c, h, w = u.shape
     wp = _round_up(w, 128)
-    th = _strip_height(wp, n_windows=2)
+    if th is None:
+        th = _strip_height(wp, n_windows=2)
     hp = _round_up(h, th)
+    if blocked:
+        up = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)))
+        gp = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - w)))
+        done = 0
+        while done < n_sweeps:
+            step = min(4, n_sweeps - done)
+            up = _rb_launch_b(up, gp, step, th, h, w, wp, hp, c, interpret)
+            done += step
+        return up[:, :h, :w]
     pad = ((0, 0), (_M, hp - h + _M), (0, wp - w))
     up = jnp.pad(u, pad)
     gp = jnp.pad(g, pad)
@@ -193,10 +284,11 @@ def _level_ops(rows, cols, h, w, bh, bw):
     return nsum, 1.0 / diag, diag
 
 
-def _mg_down_kernel(u_ref, g_ref, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
-                    h_even, bh, bw):
-    """nu1 red-black sweeps + residual + row-direction full-weighting restrict."""
-    i = pl.program_id(1)
+def _mg_down_body(u, g, i, *, nu1, th, h, w, wp, hc, h_even, bh, bw):
+    """nu1 sweeps + residual + row-restrict on a ghosted window.
+
+    Returns (swept strip (th, wp), row-restricted residual strip (th//2, wp)).
+    """
     m = _M
     rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
@@ -205,14 +297,11 @@ def _mg_down_kernel(u_ref, g_ref, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
     red = par & in_dom
     black = (~par) & in_dom
 
-    g = g_ref[0]  # zero-padded outside the domain by the launcher
-    u = u_ref[0]
-
     nsum, inv_d, diag = _level_ops(rows, cols, h, w, bh, bw)
     for _ in range(nu1):
         u = jnp.where(red, (nsum(u) - g) * inv_d, u)
         u = jnp.where(black, (nsum(u) - g) * inv_d, u)
-    uo_ref[0] = u[m : m + th, :]
+    strip = u[m : m + th, :]
 
     # Residual is valid over the slab [m, m+th+2) for nu1 <= 2 (the staleness
     # wavefront advances 2 rows per sweep from each window edge, +1 for the
@@ -231,13 +320,31 @@ def _mg_down_kernel(u_ref, g_ref, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
                 + (bh / gap * 0.5) * b[1 : nhc + 1])
         jc = i * nhc + jax.lax.broadcasted_iota(jnp.int32, (nhc, wp), 0)
         out = jnp.where(jc == hc - 1, edge, out)
-    rh_ref[0] = out
+    return strip, out
 
 
-@partial(jax.jit, static_argnames=("nu1", "bh", "bw", "interpret", "th"))
+def _mg_down_kernel(u_ref, g_ref, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
+                    h_even, bh, bw):
+    i = pl.program_id(1)
+    uo_ref[0], rh_ref[0] = _mg_down_body(
+        u_ref[0], g_ref[0], i, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
+        h_even=h_even, bh=bh, bw=bw)
+
+
+def _mg_down_kernel_b(uc, ut, ub, gc, gt, gb, uo_ref, rh_ref, *, nu1, th, h,
+                      w, wp, hc, h_even, bh, bw):
+    i = pl.program_id(1)
+    u = _asm_window(i, th, h, wp, uc, ut, ub)
+    g = _asm_window(i, th, h, wp, gc, gt, gb)
+    uo_ref[0], rh_ref[0] = _mg_down_body(
+        u, g, i, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc, h_even=h_even,
+        bh=bh, bw=bw)
+
+
+@partial(jax.jit, static_argnames=("nu1", "bh", "bw", "interpret", "th", "blocked"))
 def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
                    bh: float = 1.0, bw: float = 1.0, interpret: bool = False,
-                   th: int | None = None):
+                   th: int | None = None, blocked: bool | None = None):
     """Fused V-cycle descent: nu1 sweeps + residual + row-restrict, one pass.
 
     (C, H, W) f32 -> (swept u (C, H, W), row-restricted residual
@@ -247,37 +354,59 @@ def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
     ``th`` overrides the strip height (multiple of 16; tuning knob).
     """
     assert 0 <= nu1 <= 2, nu1
+    if blocked is None:
+        blocked = _ghost_blocked()
     c, h, w = u.shape
     wp = _round_up(w, 128)
     if th is None:
         th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
     hp = _round_up(h, th)
+    hc = (h - 1) // 2
+    kern = partial(_mg_down_kernel, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
+                   h_even=(h % 2 == 0), bh=bh, bw=bw)
+    out_specs = [
+        pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
+        pl.BlockSpec((1, th // 2, wp), lambda ci, i: (ci, i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((c, hp // 2, wp), jnp.float32),
+    ]
+    if blocked:
+        up = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)))
+        gp = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - w)))
+        ctr, top, bot = _ghost_specs(th, hp, wp)
+        u_out, rh = pl.pallas_call(
+            partial(_mg_down_kernel_b, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
+                    h_even=(h % 2 == 0), bh=bh, bw=bw),
+            grid=(c, hp // th),
+            in_specs=[ctr, top, bot] * 2,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(up, up, up, gp, gp, gp)
+        return u_out[:, :h, :w], rh[:, :hc, :w]
     pad = ((0, 0), (_M, hp - h + _M), (0, wp - w))
     up = jnp.pad(u, pad)
     gp = jnp.pad(g, pad)
-    hc = (h - 1) // 2
     u_out, rh = pl.pallas_call(
-        partial(_mg_down_kernel, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
-                h_even=(h % 2 == 0), bh=bh, bw=bw),
+        kern,
         grid=(c, hp // th),
         in_specs=[_halo_spec(th, wp), _halo_spec(th, wp)],
-        out_specs=[
-            pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
-            pl.BlockSpec((1, th // 2, wp), lambda ci, i: (ci, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((c, hp // 2, wp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(up, gp)
     return u_out[:, :h, :w], rh[:, :hc, :w]
 
 
-def _mg_up_kernel(u_ref, g_ref, e_ref, uo_ref, *, nu2, th, h, w, wp, h_even,
-                  bh, bw):
-    """Row-direction bilinear prolong + correction add + nu2 sweeps."""
-    i = pl.program_id(1)
+def _mg_up_body(u, g, ec, i, *, nu2, th, h, w, wp, h_even, bh, bw):
+    """Row-direction bilinear prolong + correction add + nu2 sweeps.
+
+    u/g: (th + 2M, wp) fine windows; ec: (th//2 + 2M, wp) coarse window
+    (window row j = coarse row i*th/2 - M + j, zero outside the coarse
+    grid). Returns the swept (th, wp) strip.
+    """
     m = _M
     rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 1)
@@ -286,13 +415,8 @@ def _mg_up_kernel(u_ref, g_ref, e_ref, uo_ref, *, nu2, th, h, w, wp, h_even,
     red = par & in_dom
     black = (~par) & in_dom
 
-    g = g_ref[0]  # zero-padded outside the domain by the launcher
-    u = u_ref[0]
-
-    # e window row j = coarse row i*th/2 - m + j (zero-padded outside the
-    # coarse grid). Fine window row t pairs with coarse q = i*th/2 - m/2 + p,
-    # p = t//2, so e_loc[q] = ec[p + m/2]: fine 2q <- mids, fine 2q+1 <- e[q].
-    ec = e_ref[0]
+    # Fine window row t pairs with coarse q = i*th/2 - m/2 + p, p = t//2,
+    # so e_loc[q] = ec[p + m/2]: fine 2q <- mids, fine 2q+1 <- e[q].
     nh = th // 2 + m
     j0 = m // 2
     mids = 0.5 * (ec[j0 - 1 : j0 - 1 + nh, :] + ec[j0 : j0 + nh, :])
@@ -313,7 +437,24 @@ def _mg_up_kernel(u_ref, g_ref, e_ref, uo_ref, *, nu2, th, h, w, wp, h_even,
     for _ in range(nu2):
         u = jnp.where(red, (nsum(u) - g) * inv_d, u)
         u = jnp.where(black, (nsum(u) - g) * inv_d, u)
-    uo_ref[0] = u[m : m + th, :]
+    return u[m : m + th, :]
+
+
+def _mg_up_kernel(u_ref, g_ref, e_ref, uo_ref, *, nu2, th, h, w, wp, h_even,
+                  bh, bw):
+    i = pl.program_id(1)
+    uo_ref[0] = _mg_up_body(u_ref[0], g_ref[0], e_ref[0], i, nu2=nu2, th=th,
+                            h=h, w=w, wp=wp, h_even=h_even, bh=bh, bw=bw)
+
+
+def _mg_up_kernel_b(uc, ut, ub, gc, gt, gb, ecc, ect, ecb, uo_ref, *, nu2,
+                    th, h, w, wp, hc, h_even, bh, bw):
+    i = pl.program_id(1)
+    u = _asm_window(i, th, h, wp, uc, ut, ub)
+    g = _asm_window(i, th, h, wp, gc, gt, gb)
+    ec = _asm_window(i, th // 2, hc, wp, ecc, ect, ecb)
+    uo_ref[0] = _mg_up_body(u, g, ec, i, nu2=nu2, th=th, h=h, w=w, wp=wp,
+                            h_even=h_even, bh=bh, bw=bw)
 
 
 def _coarse_halo_spec(thc: int, wp: int):
@@ -324,10 +465,11 @@ def _coarse_halo_spec(thc: int, wp: int):
     )
 
 
-@partial(jax.jit, static_argnames=("nu2", "bh", "bw", "interpret", "th"))
+@partial(jax.jit, static_argnames=("nu2", "bh", "bw", "interpret", "th", "blocked"))
 def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
                  nu2: int = 2, bh: float = 1.0, bw: float = 1.0,
-                 interpret: bool = False, th: int | None = None) -> jnp.ndarray:
+                 interpret: bool = False, th: int | None = None,
+                 blocked: bool | None = None) -> jnp.ndarray:
     """Fused V-cycle ascent: row-prolong of the lane-prolonged coarse
     correction + add + nu2 sweeps, one pass.
 
@@ -336,6 +478,8 @@ def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
     ``th`` overrides the strip height (multiple of 16; tuning knob).
     """
     assert 0 <= nu2 <= 4, nu2
+    if blocked is None:
+        blocked = _ghost_blocked()
     c, h, w = u.shape
     hc = (h - 1) // 2
     assert e_lane.shape == (c, hc, w), (e_lane.shape, u.shape)
@@ -343,6 +487,22 @@ def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
     if th is None:
         th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
     hp = _round_up(h, th)
+    if blocked:
+        up = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)))
+        gp = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - w)))
+        ep = jnp.pad(e_lane, ((0, 0), (0, hp // 2 - hc), (0, wp - w)))
+        ctr, top, bot = _ghost_specs(th, hp, wp)
+        ec_ctr, ec_top, ec_bot = _ghost_specs(th // 2, hp // 2, wp)
+        out = pl.pallas_call(
+            partial(_mg_up_kernel_b, nu2=nu2, th=th, h=h, w=w, wp=wp, hc=hc,
+                    h_even=(h % 2 == 0), bh=bh, bw=bw),
+            grid=(c, hp // th),
+            in_specs=[ctr, top, bot, ctr, top, bot, ec_ctr, ec_top, ec_bot],
+            out_specs=pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            interpret=interpret,
+        )(up, up, up, gp, gp, gp, ep, ep, ep)
+        return out[:, :h, :w]
     pad = ((0, 0), (_M, hp - h + _M), (0, wp - w))
     up = jnp.pad(u, pad)
     gp = jnp.pad(g, pad)

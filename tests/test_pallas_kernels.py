@@ -400,3 +400,129 @@ class TestServeChainPallas:
         diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
         assert diff.max() <= 1, diff.max()
         assert np.array_equal(got[0, :, :], sky[0, :, :])
+
+
+class TestFusedMultigridKernels:
+    """mg_down/mg_up vs their XLA compositions, and blocked-ghost vs
+    pl.Element window forms (must be bitwise identical — same arithmetic,
+    different DMA structure)."""
+
+    CASES = [
+        ((64, 130), (1.0, 1.0)),
+        ((63, 127), (1.5, 1.25)),   # odd sizes, beta-level operator
+        ((70, 200), (1.0, 2.0)),    # even h, beta on w
+        ((129, 257), (2.0, 1.0)),   # multi-strip at th=16/32
+    ]
+
+    @staticmethod
+    def _xla_down(u, g, nu1, bh, bw):
+        from seamlesscloneoptimization_tpu.solvers.jacobi import (
+            redblack_sweep,
+            residual,
+        )
+        from seamlesscloneoptimization_tpu.solvers.multigrid import (
+            _residual_b,
+            _restrict_rows,
+            _sweeps_b,
+        )
+
+        if bh == 1.0 and bw == 1.0:
+            for _ in range(nu1):
+                u = redblack_sweep(u, g)
+            r = residual(u, g)
+        else:
+            u = _sweeps_b(u, g, nu1, bh, bw)
+            r = _residual_b(u, g, bh, bw)
+        return u, _restrict_rows(r, bh)
+
+    @staticmethod
+    def _xla_up(u, g, e_lane, nu2, bh, bw):
+        from seamlesscloneoptimization_tpu.solvers.jacobi import redblack_sweep
+        from seamlesscloneoptimization_tpu.solvers.multigrid import (
+            _prolong_rows,
+            _sweeps_b,
+        )
+
+        u = u + _prolong_rows(e_lane, u.shape[1], bh)
+        if bh == 1.0 and bw == 1.0:
+            for _ in range(nu2):
+                u = redblack_sweep(u, g)
+            return u
+        return _sweeps_b(u, g, nu2, bh, bw)
+
+    @pytest.mark.parametrize("hw,beta", CASES)
+    def test_mg_down_matches_xla(self, hw, beta):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_down_pallas
+
+        h, w = hw
+        bh, bw = beta
+        g = _rand((3, h, w), seed=3)
+        u0 = _rand((3, h, w), seed=4, scale=10.0)
+        u_pl, rh_pl = mg_down_pallas(u0, g, 1, bh=bh, bw=bw, interpret=True,
+                                     th=32)
+        u_x, rh_x = self._xla_down(u0, g, 1, bh, bw)
+        np.testing.assert_allclose(np.asarray(u_pl), np.asarray(u_x),
+                                   atol=1e-3, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(rh_pl), np.asarray(rh_x),
+                                   atol=1e-3, rtol=1e-5)
+
+    @pytest.mark.parametrize("hw,beta", CASES)
+    def test_mg_up_matches_xla(self, hw, beta):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_up_pallas
+
+        h, w = hw
+        bh, bw = beta
+        hc = (h - 1) // 2
+        g = _rand((3, h, w), seed=5)
+        u0 = _rand((3, h, w), seed=6, scale=10.0)
+        e = _rand((3, hc, w), seed=7, scale=5.0)
+        u_pl = mg_up_pallas(u0, g, e, 2, bh=bh, bw=bw, interpret=True, th=32)
+        u_x = self._xla_up(u0, g, e, 2, bh, bw)
+        np.testing.assert_allclose(np.asarray(u_pl), np.asarray(u_x),
+                                   atol=1e-3, rtol=1e-5)
+
+    @pytest.mark.parametrize("hw,beta", CASES)
+    @pytest.mark.parametrize("th", [16, 32])
+    def test_blocked_equals_element(self, hw, beta, th):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            mg_down_pallas,
+            mg_up_pallas,
+            rb_sweeps_pallas,
+        )
+
+        h, w = hw
+        bh, bw = beta
+        hc = (h - 1) // 2
+        g = _rand((3, h, w), seed=8)
+        u0 = _rand((3, h, w), seed=9, scale=10.0)
+        e = _rand((3, hc, w), seed=10, scale=5.0)
+
+        ue, rhe = mg_down_pallas(u0, g, 1, bh=bh, bw=bw, interpret=True,
+                                 th=th, blocked=False)
+        ub, rhb = mg_down_pallas(u0, g, 1, bh=bh, bw=bw, interpret=True,
+                                 th=th, blocked=True)
+        assert np.array_equal(np.asarray(ue), np.asarray(ub))
+        assert np.array_equal(np.asarray(rhe), np.asarray(rhb))
+
+        upe = mg_up_pallas(u0, g, e, 2, bh=bh, bw=bw, interpret=True, th=th,
+                           blocked=False)
+        upb = mg_up_pallas(u0, g, e, 2, bh=bh, bw=bw, interpret=True, th=th,
+                           blocked=True)
+        assert np.array_equal(np.asarray(upe), np.asarray(upb))
+
+        se = rb_sweeps_pallas(u0, g, 4, interpret=True, th=th, blocked=False)
+        sb = rb_sweeps_pallas(u0, g, 4, interpret=True, th=th, blocked=True)
+        assert np.array_equal(np.asarray(se), np.asarray(sb))
+
+    def test_blocked_multi_launch_sweeps(self):
+        """>4 sweeps in blocked mode (the repad-free relaunch path)."""
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import rb_sweeps_pallas
+
+        g = _rand((3, 50, 70), seed=11)
+        u0 = _rand((3, 50, 70), seed=12, scale=10.0)
+        sb = rb_sweeps_pallas(u0, g, 6, interpret=True, th=16, blocked=True)
+        u_x = u0
+        for _ in range(6):
+            u_x = redblack_sweep(u_x, g)
+        np.testing.assert_allclose(np.asarray(sb), np.asarray(u_x),
+                                   atol=1e-3, rtol=1e-5)
