@@ -24,11 +24,13 @@ from seamlesscloneoptimization_tpu.solvers.dst_fft import solve_dst_fft
 from seamlesscloneoptimization_tpu.solvers.jacobi import solve_redblack, redblack_sweep
 from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 
-# Direct DST-GEMM is O(N^1.5) FLOPs on the MXU; multigrid is O(N). The
-# measured v5e crossover sits above 24 MP interiors (docs/PERF.md: 8K =
-# 31.8 MP favors... see the "auto crossover" bench row), where the GEMM
-# eigenbasis matrices alone reach hundreds of MB.
-AUTO_CROSSOVER_PIXELS = 24_000_000
+# Direct DST-GEMM is O(N^1.5) FLOPs on the MXU; multigrid is O(N). Pinned
+# from measured v5e solver-only times (docs/PERF.md, tools/time_solver.py,
+# 2026-08-18): at 3x2798x3798 (10.6 MP) dst_gemm(bf16_3x) 22.1 ms vs
+# multigrid tol-2e-4 48.8 ms; extrapolating the O(N^1.5)-vs-O(N) constants
+# puts the crossover near ~50 MP interiors, where the GEMM eigenbasis
+# matrices alone reach hundreds of MB of HBM.
+AUTO_CROSSOVER_PIXELS = 50_000_000
 
 
 def auto_solver_name(shape, crossover: int = AUTO_CROSSOVER_PIXELS) -> str:

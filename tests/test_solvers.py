@@ -163,10 +163,10 @@ class TestAutoSolver:
         )
 
         assert auto_solver_name((3, 1550, 2398)) == "dst_gemm"  # 3.7 MP
-        assert auto_solver_name((3, 4318, 7678)) == "multigrid"  # 33 MP (8K)
-        assert auto_solver_name((3, 4000, 6000)) == "dst_gemm"  # exactly 24.0 MP
-        assert auto_solver_name((3, 4000, 6001)) == "multigrid"  # just past it
-        assert AUTO_CROSSOVER_PIXELS == 24_000_000  # pinned by docs/PERF.md
+        assert auto_solver_name((3, 4318, 7678)) == "dst_gemm"  # 33 MP (8K)
+        assert auto_solver_name((3, 5000, 10000)) == "dst_gemm"  # exactly 50 MP
+        assert auto_solver_name((3, 5000, 10001)) == "multigrid"  # just past it
+        assert AUTO_CROSSOVER_PIXELS == 50_000_000  # pinned by docs/PERF.md
 
     def test_auto_via_engine(self):
         import cv2
