@@ -46,7 +46,12 @@ class CloneConfig:
     # ROI is enlarged around the mask (mask stays exact), which moves the
     # Poisson Dirichlet frame outward — output remains seamless (solved with
     # MORE context) but differs from cv2's tight-bbox result by ~30-45 dB
-    # PSNR on rough content. Exact-parity serving should pin mask sizes.
+    # PSNR on rough content (measured diff_max 31 at bucket=128 on the
+    # airplane/sky pair). bucket_exact removes that trade-off.
+    bucket_exact: bool = False  # with bbox_bucket: solve the TIGHT Poisson
+    # system inside the bucketed shapes via the runtime-domain multigrid
+    # (solvers/multigrid_dyn.py) — bit-parity with the tight solve (and cv2)
+    # at bucketed compile counts. Uses tol/mg_cycles; ignores `solver`.
     compilation_cache_dir: str | None = _DEFAULT_CACHE_DIR  # persistent XLA cache
     # (the TPU-native FFTParams plan cache, SURVEY §5.4: compiles survive
     # process restarts; None disables)
@@ -69,4 +74,5 @@ class CloneConfig:
         return (self.solver, self.precision, self.flags, self.mixed_rule, self.tol,
                 self.max_iters, self.max_cycles, self.mg_cycles,
                 self.use_pallas_smoother, self.use_pallas_preprocess,
-                self.use_pallas_postprocess, self.bbox_bucket)
+                self.use_pallas_postprocess, self.bbox_bucket,
+                self.bucket_exact)

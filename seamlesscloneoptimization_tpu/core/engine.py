@@ -31,18 +31,25 @@ from seamlesscloneoptimization_tpu.models.pipeline import clone_pipeline
 from seamlesscloneoptimization_tpu.solvers import SOLVERS
 
 
-def prepare_inputs(mask: np.ndarray, src_shape, dst_shape, center, bucket: int = 0):
+def prepare_inputs(mask: np.ndarray, src_shape, dst_shape, center, bucket: int = 0,
+                   return_tight: bool = False):
     """Host-side mask prep: binarize + border-zero + bbox + ROI placement.
 
     Replaces the reference's device-side bbox kernel + host sync
     (seamlessClone_imp.cpp:978-1012) — shapes must be static under XLA, so
     this runs before tracing. Returns None for an empty mask, else
-    (prepared_mask, (x0, y0), (left, top), (bh, bw)).
+    (prepared_mask, (x0, y0), (left, top), (bh, bw)) — plus, with
+    ``return_tight``, a fifth element (dy, dx, tight_bh, tight_bw): the
+    tight bbox's offset and size inside the returned ROI (== (0, 0, bh, bw)
+    when no bucketing applied), which the bucket_exact pipeline needs.
 
-    bucket > 0 rounds the ROI up to a multiple (grown around the tight bbox,
-    clamped into both images, paste position preserved or falling back to
-    the exact bbox) so varying mask sizes share one compiled program — see
-    CloneConfig.bbox_bucket for the Dirichlet-frame trade-off.
+    bucket > 0 rounds the ROI up to a multiple so varying mask sizes share
+    one compiled program — see CloneConfig.bbox_bucket for the
+    Dirichlet-frame trade-off (removed entirely by bucket_exact). Placement
+    picks the tight bbox's offset (dy, dx) inside the bucket from the
+    feasibility interval (bucket inside src AND its paste target inside
+    dst, paste position preserved), falling back to the exact bbox only
+    when that interval is empty.
     """
     if bucket < 0:
         raise ValueError(f"bbox_bucket must be >= 0, got {bucket}")
@@ -73,18 +80,22 @@ def prepare_inputs(mask: np.ndarray, src_shape, dst_shape, center, bucket: int =
     if bucket:
         tb = min(-(-bh // bucket) * bucket, src_shape[0], dst_shape[0])
         tw = min(-(-bw // bucket) * bucket, src_shape[1], dst_shape[1])
-        # shift the bbox start inside the source so the bucket fits
-        x0b = max(0, min(x0 - (tw - bw) // 2, src_shape[1] - tw))
-        y0b = max(0, min(y0 - (tb - bh) // 2, src_shape[0] - tb))
-        # paste position follows the same offset so the mask lands where the
-        # tight solve would put it
-        leftb = max(0, min(left - (x0 - x0b), dst_shape[1] - tw))
-        topb = max(0, min(top - (y0 - y0b), dst_shape[0] - tb))
-        # the absolute paste position must survive the clamps; fall back to
-        # the exact bbox otherwise
-        if leftb + (x0 - x0b) == left and topb + (y0 - y0b) == top:
-            return m, (x0b, y0b), (leftb, topb), (tb, tw)
-    return m, (x0, y0), (left, top), (bh, bw)
+        # tight-bbox offset (dy, dx) inside the bucket: any value in the
+        # feasibility interval keeps the bucket inside BOTH images while
+        # preserving the absolute paste position (src slice at tight-dy,
+        # dst slice at paste-dy — the two windows must coincide because
+        # guidance pairs dest/patch pixels at equal ROI coordinates)
+        lo_y = max(0, y0 - (src_shape[0] - tb), top - (dst_shape[0] - tb))
+        hi_y = min(y0, top, tb - bh)
+        lo_x = max(0, x0 - (src_shape[1] - tw), left - (dst_shape[1] - tw))
+        hi_x = min(x0, left, tw - bw)
+        if lo_y <= hi_y and lo_x <= hi_x:
+            dy = min(max((tb - bh) // 2, lo_y), hi_y)
+            dx = min(max((tw - bw) // 2, lo_x), hi_x)
+            out = m, (x0 - dx, y0 - dy), (left - dx, top - dy), (tb, tw)
+            return out + ((dy, dx, bh, bw),) if return_tight else out
+    out = m, (x0, y0), (left, top), (bh, bw)
+    return out + ((0, 0, bh, bw),) if return_tight else out
 
 
 class SeamlessClone:
@@ -138,13 +149,17 @@ class SeamlessClone:
         fn = self._cache.get(key)
         if fn is None:
             solver = SOLVERS[self.config.solver]
+            kwargs = dict(self.config.solver_kwargs())
+            if self._bucket_exact():
+                # clone_roi_dyn's runtime-domain multigrid controls
+                kwargs.update(tol=self.config.tol, cycles=self.config.mg_cycles)
             fn = jax.jit(
                 partial(
                     clone_pipeline,
                     bbox_hw=bbox_hw,
                     flags=flags,
                     solver=solver,
-                    solver_kwargs=self.config.solver_kwargs(),
+                    solver_kwargs=kwargs,
                     use_pallas_pre=self.config.use_pallas_preprocess,
                     use_pallas_post=(self.config.use_pallas_postprocess
                                      and self.config.solver == "dst_gemm"),
@@ -177,9 +192,19 @@ class SeamlessClone:
 
     # -- host-side mask prep (replaces the reference's device bbox + sync) ---
 
+    def _bucket_exact(self) -> bool:
+        return bool(self.config.bucket_exact and self.config.bbox_bucket)
+
+    @staticmethod
+    def _unpack_prep(prep):
+        """(mask, bbox_xy, left_top, bbox_hw, tight-or-None)."""
+        m, xy, lt, hw = prep[:4]
+        return m, xy, lt, hw, (prep[4] if len(prep) > 4 else None)
+
     def _prepare(self, mask: np.ndarray, src_shape, dst_shape, center):
         return prepare_inputs(mask, src_shape, dst_shape, center,
-                              bucket=self.config.bbox_bucket)
+                              bucket=self.config.bbox_bucket,
+                              return_tight=self._bucket_exact())
 
     # -- public API -----------------------------------------------------------
 
@@ -200,7 +225,7 @@ class SeamlessClone:
         if prep is None:
             self._last_out = self._track(jax.device_put(dst, self.device))
             return self._last_out
-        m, (x0, y0), (left, top), (bh, bw) = prep
+        m, (x0, y0), (left, top), (bh, bw), tight = self._unpack_prep(prep)
         fn = self._compiled(tuple(src.shape), tuple(dst.shape), (bh, bw), flags)
 
         def put(x):
@@ -208,13 +233,16 @@ class SeamlessClone:
                 return x
             return self._track(jax.device_put(x, self.device))
 
-        out = self._track(fn(
+        args = [
             put(src),
             put(dst),
             self._track(jax.device_put(m, self.device)),
             np.array([x0, y0], np.int32),
             np.array([left, top], np.int32),
-        ))
+        ]
+        if tight is not None:
+            args.append(np.array(tight, np.int32))
+        out = self._track(fn(*args))
         self._last_out = out
         self.metrics["dispatch_ms"] = (time.perf_counter() - t0) * 1e3
         self.metrics["bbox"] = (x0, y0, bw, bh)
@@ -309,7 +337,7 @@ class SeamlessClone:
             mask = np.full(src.shape[:2], 255, np.uint8)
         prep = self._prepare(mask, src.shape, dst.shape, center)
         assert prep is not None, "empty mask"
-        m, (x0, y0), (left, top), (bh, bw) = prep
+        m, (x0, y0), (left, top), (bh, bw), tight = self._unpack_prep(prep)
         # the serve loop keeps the chained destination PLANAR on device
         # (the reference's RGBP planar-buffers lesson, PDF §2.2.2): the
         # per-frame interleave<->planar conversions and the interleaved
@@ -374,7 +402,7 @@ class SeamlessClone:
             mask = np.full(src.shape[:2], 255, np.uint8)
         prep = self._prepare(mask, src.shape, dst.shape, center)
         assert prep is not None, "empty mask"
-        m, (x0, y0), (left, top), (bh, bw) = prep
+        m, (x0, y0), (left, top), (bh, bw), _tight = self._unpack_prep(prep)
 
         mask_roi = m[y0 : y0 + bh, x0 : x0 + bw]
         src_roi = np.where(mask_roi[..., None] != 0, src[y0 : y0 + bh, x0 : x0 + bw], 0)

@@ -136,12 +136,76 @@ def clone_roi(
     return (blended, 0) if return_inset else blended
 
 
+def clone_roi_dyn(
+    dest_roi_u8: jnp.ndarray,
+    patch_u8: jnp.ndarray,
+    mask_roi: jnp.ndarray,
+    flags: int,
+    tight: jnp.ndarray,
+    mixed_rule: str = "opencv",
+    tol: float = 1e-4,
+    cycles: int | None = None,
+):
+    """Exact TIGHT-bbox clone inside a bucketed (static-shape) ROI.
+
+    tight: (4,) int32 [dy, dx, th, tw] — the tight bbox's offset and size
+    inside the ROI (all traced). Solves the same Poisson system the tight
+    pipeline would (Dirichlet frame at the TIGHT bbox edge, runtime-domain
+    multigrid), so the output is bit-close to the unbucketed path while one
+    compiled program serves every mask size up to the bucket. Key identity
+    making this exact: the guidance field is local, and the divergence at
+    tight-interior points never reads the reflect-edge guidance values, so
+    windowing the bucket-computed RHS + re-folding the Dirichlet terms at
+    the tight frame reproduces the tight RHS exactly (ops/rhs.py).
+    """
+    from seamlesscloneoptimization_tpu.solvers.multigrid_dyn import (
+        solve_multigrid_dyn,
+    )
+
+    dy, dx, th, tw = tight[0], tight[1], tight[2], tight[3]
+    c, bh, bw = dest_roi_u8.shape
+    dest_f = dest_roi_u8.astype(jnp.float32)
+    patch_f = patch_u8.astype(jnp.float32)
+    mask_eroded = erode3x3(binarize_mask(mask_roi))
+    gx, gy = guidance_field(dest_f, patch_f, mask_eroded, flags, mixed_rule)
+    # divergence over the whole bucket interior grid; equals the tight
+    # computation at every tight-interior point (guidance is local)
+    lap = ((gx[:, 1:-1, 1:-1] - gx[:, 1:-1, 0:-2])
+           + (gy[:, 1:-1, 1:-1] - gy[:, 0:-2, 1:-1]))
+    h2, w2 = bh - 2, bw - 2  # g grid; index (i, j) <-> ROI pixel (i+1, j+1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (h2, w2), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (h2, w2), 1)
+    # Dirichlet rows/cols of the TIGHT frame (ROI rows dy, dy+th-1 and cols
+    # dx, dx+tw-1), folded at the window-adjacent interior lines — the
+    # dynamic-offset equivalent of poisson_rhs's .at[0/-1].add
+    zero = jnp.int32(0)
+    d_top = jax.lax.dynamic_slice(dest_f, (zero, dy, zero), (c, 1, bw))[:, 0, 1:-1]
+    d_bot = jax.lax.dynamic_slice(dest_f, (zero, dy + th - 1, zero), (c, 1, bw))[:, 0, 1:-1]
+    d_lf = jax.lax.dynamic_slice(dest_f, (zero, zero, dx), (c, bh, 1))[:, 1:-1, 0]
+    d_rt = jax.lax.dynamic_slice(dest_f, (zero, zero, dx + tw - 1), (c, bh, 1))[:, 1:-1, 0]
+    g = lap
+    g = g - jnp.where((r == dy)[None], d_top[:, None, :], 0.0)
+    g = g - jnp.where((r == dy + th - 3)[None], d_bot[:, None, :], 0.0)
+    g = g - jnp.where((cc == dx)[None], d_lf[:, :, None], 0.0)
+    g = g - jnp.where((cc == dx + tw - 3)[None], d_rt[:, :, None], 0.0)
+    window = (r >= dy) & (r < dy + th - 2) & (cc >= dx) & (cc < dx + tw - 2)
+    g = jnp.where(window[None], g, 0.0)
+    # anchor the tight system at (0, 0), solve at its runtime size, unroll
+    g0 = jnp.roll(g, (-dy, -dx), axis=(1, 2))
+    u0 = solve_multigrid_dyn(g0, (th - 2, tw - 2), tol=tol, cycles=cycles)
+    u = jnp.roll(u0, (dy, dx), axis=(1, 2))
+    interior = jnp.clip(u, 0.0, 255.0).astype(jnp.uint8)  # truncate like cv2
+    blended_int = jnp.where(window[None], interior, dest_roi_u8[:, 1:-1, 1:-1])
+    return dest_roi_u8.at[:, 1:-1, 1:-1].set(blended_int)
+
+
 def clone_pipeline(
     src: jnp.ndarray,
     dst: jnp.ndarray,
     mask: jnp.ndarray,
     bbox_xy: jnp.ndarray,
     left_top: jnp.ndarray,
+    true_bbox: jnp.ndarray | None = None,
     *,
     bbox_hw: tuple[int, int],
     flags: int,
@@ -168,6 +232,9 @@ def clone_pipeline(
       left_top: (2,) int32 [left, top] paste position in dst (traced).
       bbox_hw: (bh, bw) static bounding-box size.
       flags: NORMAL_CLONE | MIXED_CLONE | MONOCHROME_TRANSFER (static).
+      true_bbox: optional (4,) int32 [dy, dx, th, tw] — bucket_exact mode:
+        solve the TIGHT Poisson system at this traced offset/size inside the
+        bucketed ROI (clone_roi_dyn; solver_kwargs supplies tol/cycles).
 
     Returns the blended image in the same layout as ``dst``.
     """
@@ -200,6 +267,17 @@ def clone_pipeline(
 
     src_p = interleaved_to_planar(src_roi).astype(jnp.uint8)  # (C, bh, bw) u8
     patch = jnp.where(mask_roi[None] != 0, src_p, jnp.uint8(0))
+
+    if true_bbox is not None:
+        kw = solver_kwargs or {}
+        blended_roi = clone_roi_dyn(
+            dest_p, patch, mask_roi, flags, true_bbox, mixed_rule=mixed_rule,
+            tol=kw.get("tol", 1e-4), cycles=kw.get("cycles"))
+        if planar_dst:
+            return jax.lax.dynamic_update_slice(
+                dst, blended_roi, (jnp.int32(0), top, left))
+        return jax.lax.dynamic_update_slice(
+            dst, planar_to_interleaved(blended_roi), (top, left, jnp.int32(0)))
 
     blended_roi, inset = clone_roi(
         dest_p, patch, mask_roi, flags, solver, solver_kwargs,

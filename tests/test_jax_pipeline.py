@@ -298,3 +298,49 @@ class TestBboxBucketing:
         tight = R.seamless_clone_np(airplane, sky, mask.copy(), (800, 400))
         db = psnr(out, tight)
         assert db > 40, f"bucketed PSNR {db:.1f} dB vs tight solve"
+
+
+class TestBucketExact:
+    """bucket_exact: the runtime-domain multigrid (solvers/multigrid_dyn.py)
+    solves the TIGHT Poisson system inside the bucketed shapes — cv2
+    bit-closeness at bucketed compile counts (plain bucketing measures
+    diff_max ~31 on this pair; see CloneConfig.bbox_bucket)."""
+
+    def test_exact_bucket_bitclose_to_cv2(self, airplane, sky):
+        mask = np.zeros(airplane.shape[:2], np.uint8)
+        cv2.circle(mask, (150, 97), 80, 255, -1)
+        golden = cv2.seamlessClone(airplane, sky, mask.copy(), (800, 150),
+                                   cv2.NORMAL_CLONE)
+        eng = SeamlessClone(CloneConfig(bbox_bucket=128, bucket_exact=True,
+                                        tol=2e-5))
+        out = np.asarray(eng.run(airplane, sky, mask.copy(), (800, 150)))
+        s, m = diff_stats(golden, out)
+        assert m <= 1, f"bucket_exact diff max {m} (sum {s})"
+
+    def test_varying_masks_one_compile_still_exact(self, airplane, sky):
+        eng = SeamlessClone(CloneConfig(bbox_bucket=128, bucket_exact=True,
+                                        tol=2e-5))
+        for hw, center in [((60, 90), (800, 400)), ((80, 70), (700, 300)),
+                           ((100, 120), (900, 500))]:
+            mask = np.zeros(airplane.shape[:2], np.uint8)
+            mask[20 : 20 + hw[0], 30 : 30 + hw[1]] = 255
+            golden = cv2.seamlessClone(airplane, sky, mask.copy(), center,
+                                       cv2.NORMAL_CLONE)
+            out = np.asarray(eng.run(airplane, sky, mask.copy(), center))
+            s, m = diff_stats(golden, out)
+            assert m <= 1, f"{hw}: diff max {m} (sum {s})"
+        assert len(eng._cache) == 1, f"{len(eng._cache)} compiles for 3 sizes"
+
+    @pytest.mark.parametrize("flags", [2, 3])
+    def test_exact_bucket_other_modes(self, airplane, sky, flags):
+        """MIXED/MONOCHROME guidance runs through the same dyn path."""
+        mask = np.zeros(airplane.shape[:2], np.uint8)
+        cv2.circle(mask, (150, 97), 60, 255, -1)
+        cv2_flag = {2: cv2.MIXED_CLONE, 3: cv2.MONOCHROME_TRANSFER}[flags]
+        golden = cv2.seamlessClone(airplane, sky, mask.copy(), (800, 150),
+                                   cv2_flag)
+        eng = SeamlessClone(CloneConfig(bbox_bucket=128, bucket_exact=True,
+                                        tol=2e-5, flags=flags))
+        out = np.asarray(eng.run(airplane, sky, mask.copy(), (800, 150)))
+        s, m = diff_stats(golden, out)
+        assert m <= 1, f"flags {flags}: diff max {m} (sum {s})"

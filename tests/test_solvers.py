@@ -180,3 +180,118 @@ class TestAutoSolver:
         out = seamless_clone(a, s, m.copy(), (800, 150), solver="auto")
         d = np.abs(out.astype(int) - golden.astype(int))
         assert d.max() <= 1
+
+
+class TestMultigridDyn:
+    """Runtime-domain multigrid (solvers/multigrid_dyn.py): transfers match
+    the static operators at every traced size/parity, and the solve matches
+    the exact direct answer on the true domain with zeros outside."""
+
+    @pytest.mark.parametrize("n", [3, 4, 5, 17, 31, 32, 63, 64])
+    @pytest.mark.parametrize("beta", [1.0, 0.8, 1.37])
+    def test_transfers_match_static(self, n, beta):
+        from seamlesscloneoptimization_tpu.solvers.multigrid import (
+            _prolong_axis,
+            _prolong_rows,
+            _restrict_axis,
+            _restrict_rows,
+        )
+        from seamlesscloneoptimization_tpu.solvers.multigrid_dyn import (
+            _prolong_axis_dyn,
+            _prolong_rows_dyn,
+            _restrict_axis_dyn,
+            _restrict_rows_dyn,
+        )
+
+        Np = 70
+        rng = np.random.default_rng(n)
+        nc = (n - 1) // 2
+        nj, bj = jnp.int32(n), jnp.float32(beta)
+
+        r = np.zeros((2, 5, Np), np.float32)
+        r[..., :n] = rng.normal(size=(2, 5, n)).astype(np.float32)
+        want = np.asarray(_restrict_axis(jnp.asarray(r[..., :n]), beta))
+        got = np.asarray(_restrict_axis_dyn(jnp.asarray(r), nj, bj))
+        np.testing.assert_allclose(got[..., :nc], want, atol=2e-6)
+        assert np.abs(got[..., nc:]).max() == 0.0
+
+        rr = np.swapaxes(r, -1, -2).copy()
+        wantr = np.asarray(_restrict_rows(jnp.asarray(rr[:, :n]), beta))
+        gotr = np.asarray(_restrict_rows_dyn(jnp.asarray(rr), nj, bj))
+        np.testing.assert_allclose(gotr[:, :nc], wantr, atol=2e-6)
+        assert np.abs(gotr[:, nc:]).max() == 0.0
+
+        Ncp = (Np - 1) // 2
+        e = np.zeros((2, 5, Ncp), np.float32)
+        e[..., :nc] = rng.normal(size=(2, 5, nc)).astype(np.float32)
+        wantp = np.asarray(_prolong_axis(jnp.asarray(e[..., :nc]), n, beta))
+        gotp = np.asarray(_prolong_axis_dyn(jnp.asarray(e), Np, nj, bj))
+        np.testing.assert_allclose(gotp[..., :n], wantp, atol=2e-6)
+        assert np.abs(gotp[..., n:]).max() == 0.0
+
+        er = np.swapaxes(e, -1, -2).copy()
+        wantq = np.asarray(_prolong_rows(jnp.asarray(er[:, :nc]), n, beta))
+        gotq = np.asarray(_prolong_rows_dyn(jnp.asarray(er), Np, nj, bj))
+        np.testing.assert_allclose(gotq[:, :n], wantq, atol=2e-6)
+        assert np.abs(gotq[:, n:]).max() == 0.0
+
+    @pytest.mark.parametrize(
+        "hw", [(100, 126), (97, 113), (126, 126), (40, 120), (5, 126)]
+    )
+    def test_solve_matches_direct_on_true_domain(self, hw):
+        from seamlesscloneoptimization_tpu.solvers.multigrid_dyn import (
+            solve_multigrid_dyn,
+        )
+
+        h, w = hw
+        Hp = Wp = 126
+        rng = np.random.default_rng(h * 1000 + w)
+        gt = (rng.normal(size=(3, h, w)) * 255).astype(np.float32)
+        g = np.zeros((3, Hp, Wp), np.float32)
+        g[:, :h, :w] = gt
+        # garbage outside the domain must be ignored (solver masks it)
+        g[:, h:, :] = 1e6
+        u = np.asarray(
+            solve_multigrid_dyn(jnp.asarray(g), (jnp.int32(h), jnp.int32(w)),
+                                tol=2e-5)
+        )
+        exact = np.asarray(solve_dst_gemm(jnp.asarray(gt)))
+        rel = np.abs(u[:, :h, :w] - exact).max() / np.abs(exact).max()
+        assert rel < 1e-3, rel
+        if h < Hp:
+            assert np.abs(u[:, h:, :]).max() == 0.0
+        if w < Wp:
+            assert np.abs(u[:, :, w:]).max() == 0.0
+
+    def test_one_compiled_program_many_sizes(self):
+        """The whole point: traced sizes never retrace/recompile."""
+        import jax
+
+        from seamlesscloneoptimization_tpu.solvers.multigrid_dyn import (
+            solve_multigrid_dyn,
+        )
+
+        g = _rand_g(96, 96, seed=5)
+        gp = jnp.pad(g, ((0, 0), (0, 30), (0, 30)))
+        with jax.checking_leaks():
+            n0 = solve_multigrid_dyn._cache_size()
+            for h, w in [(96, 96), (50, 70), (33, 97)]:
+                solve_multigrid_dyn(gp, (jnp.int32(h), jnp.int32(w)), cycles=2)
+            assert solve_multigrid_dyn._cache_size() - n0 == 1
+
+    def test_fixed_cycles_contraction(self):
+        """~0.1/cycle contraction at a runtime size (the serving mode)."""
+        from seamlesscloneoptimization_tpu.solvers.multigrid_dyn import (
+            _residual_dyn,
+            solve_multigrid_dyn,
+        )
+
+        h, w = 90, 110
+        g = jnp.pad(_rand_g(h, w, seed=6, scale=255.0),
+                    ((0, 0), (0, 36), (0, 16)))
+        hj, wj = jnp.int32(h), jnp.int32(w)
+        one = jnp.float32(1.0)
+        gn = float(jnp.max(jnp.abs(g)))
+        r4 = float(jnp.max(jnp.abs(_residual_dyn(
+            solve_multigrid_dyn(g, (hj, wj), cycles=4), g, hj, wj, one, one))))
+        assert r4 / gn < 5e-4, r4 / gn
