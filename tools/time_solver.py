@@ -44,6 +44,18 @@ def main():
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_up_pallas
         return mg_up_pallas(jnp.zeros_like(g), g, g * 0.5, 2)
 
+    def _mg_dyn(g):
+        # runtime-domain multigrid at a true size ~0.8x the padded shape
+        # (the bucket_exact serving solver; fixed 4 cycles like serving)
+        import jax.numpy as jnp
+
+        from seamlesscloneoptimization_tpu.solvers.multigrid_dyn import (
+            solve_multigrid_dyn,
+        )
+        h = jnp.int32(int(g.shape[1] * 0.8))
+        w = jnp.int32(int(g.shape[2] * 0.8))
+        return solve_multigrid_dyn(g, (h, w), cycles=4)
+
     def _transfers(g):
         from seamlesscloneoptimization_tpu.solvers.multigrid import (
             prolong_bilinear,
@@ -58,6 +70,7 @@ def main():
         "multigrid_fixed4": partial(solve_multigrid, cycles=4, use_pallas=True),
         "multigrid_fixed3": partial(solve_multigrid, cycles=3, use_pallas=True),
         "vcycle1": partial(solve_multigrid, cycles=1, use_pallas=True),
+        "multigrid_dyn": _mg_dyn,
         "dst_gemm": partial(solve_dst_gemm, precision="high"),
         "dst_gemm_f32": partial(solve_dst_gemm, precision="highest"),
         "sweeps4_pl": jax.jit(_sweeps4_pl),
