@@ -386,8 +386,14 @@ def solve_multigrid(
     else:
         u = jnp.zeros_like(g)
     if cycles is not None:
-        for _ in range(cycles):
-            u = vcycle(u, g, nu1, nu2, coarsest, use_pallas=use_pallas, interpret=interpret)
+        # fori_loop, not an unrolled chain: the V-cycle body is traced ONCE,
+        # which cuts the program (and the minutes-long tunnel compile of the
+        # unrolled hierarchy) by ~cycles x at identical arithmetic
+        u = jax.lax.fori_loop(
+            0, cycles,
+            lambda _, x: vcycle(x, g, nu1, nu2, coarsest,
+                                use_pallas=use_pallas, interpret=interpret),
+            u)
         if return_info:
             return u, {"cycles": jnp.int32(cycles),
                        "residual": jnp.max(jnp.abs(residual(u, g)))}

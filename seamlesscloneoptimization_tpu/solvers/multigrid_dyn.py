@@ -257,8 +257,11 @@ def solve_multigrid_dyn(
     one = _f32(1.0)
     u = jnp.zeros_like(g)
     if cycles is not None:
-        for _ in range(cycles):
-            u = vcycle_dyn(u, g, h, w, one, one, nu1, nu2)
+        # single-trace V-cycle body (see solve_multigrid: ~cycles x smaller
+        # program and compile time than an unrolled chain)
+        u = jax.lax.fori_loop(
+            0, cycles,
+            lambda _, x: vcycle_dyn(x, g, h, w, one, one, nu1, nu2), u)
         if return_info:
             r = _residual_dyn(u, g, h, w, one, one)
             return u, {"cycles": jnp.int32(cycles),
