@@ -112,9 +112,12 @@ def main():
     size_tag = f"{src.shape[1]}x{src.shape[0]}"
     is_default_size = size_tag == "2400x1552"
 
+    import os
+
+    folded = os.environ.get("SCL_DST_FOLDED", "0") == "1"  # A/B knob
     eng = SeamlessClone(CloneConfig(solver=solver, tol=2e-4, donate_dst=True, precision="high",
                                     use_pallas_preprocess=True, use_pallas_postprocess=True,
-                                    use_pallas_smoother=True))
+                                    use_pallas_smoother=True, dst_folded=folded))
     _, serve_ms = eng.timed_serve(src, dst, mask, center, loops=loops)
 
     # one per-call e2e sample including host->device uploads (reference
@@ -144,6 +147,7 @@ def main():
                 "extras": {
                     "solver": solver,
                     "precision": "high",
+                    "dst_folded": folded,
                     f"serve_ms_per_frame_{size_tag}": round(serve_ms, 3),
                     f"e2e_ms_with_h2d_{size_tag}": round(e2e_ms, 3),
                     "sync_overhead_ms": round(eng.metrics.get("sync_overhead_ms", 0.0), 2),

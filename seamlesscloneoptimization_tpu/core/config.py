@@ -27,6 +27,9 @@ class CloneConfig:
 
     solver: str = "dst_gemm"  # dst_gemm | dst_fft | jacobi | multigrid | auto
     precision: str = "highest"  # dst_gemm MXU passes: highest (f32) | high (bf16_3x)
+    dst_folded: bool = False  # even/odd-folded DST GEMMs: half the MXU FLOPs
+    # per transform (solvers/dst_gemm.py:dst_matrices_folded); serve fast
+    # path (use_pallas_postprocess) only
     flags: int = NORMAL_CLONE
     mixed_rule: str = "opencv"  # MIXED_CLONE comparison: "opencv" (bit-parity
     # with shipped cv2: strict |gx_p-gy_p| > |gx_d-gy_d|) | "norm" (the
@@ -65,13 +68,14 @@ class CloneConfig:
                     "use_pallas": self.use_pallas_smoother,
                     "cycles": self.mg_cycles}
         if self.solver == "dst_gemm":
-            return {"precision": self.precision}
+            return {"precision": self.precision, "folded": self.dst_folded}
         if self.solver == "auto":
             return {"precision": self.precision, "tol": self.tol}
         return {}
 
     def cache_key_extras(self) -> tuple:
-        return (self.solver, self.precision, self.flags, self.mixed_rule, self.tol,
+        return (self.solver, self.precision, self.dst_folded, self.flags,
+                self.mixed_rule, self.tol,
                 self.max_iters, self.max_cycles, self.mg_cycles,
                 self.use_pallas_smoother, self.use_pallas_preprocess,
                 self.use_pallas_postprocess, self.bbox_bucket,

@@ -64,7 +64,10 @@ def clone_roi(
     the string "guarded" and the array is the guarded padded slab for
     paste_interior_pallas (the planar serve loop's tile-local paste).
     """
-    solver_kwargs = solver_kwargs or {}
+    solver_kwargs = dict(solver_kwargs or {})
+    # "folded" (even/odd-folded DST GEMMs) is implemented by the padded
+    # Pallas chain only (solve_dst_gemm_pl); strip it before generic calls
+    dst_folded = bool(solver_kwargs.pop("folded", False))
     if not _pallas_backend_available():
         use_pallas_pre = False  # Pallas TPU kernels cannot lower elsewhere
         use_pallas_post = False
@@ -100,7 +103,8 @@ def clone_roi(
             g_tp = preprocess_rhs_transposed_pallas(
                 dest_roi_u8, patch_in, mask_roi, kflags, mixed_rule)
             u = solve_dst_gemm_pl(g_tp, h2=h2, w2=w2,
-                                  precision=solver_kwargs.get("precision", "highest"))
+                                  precision=solver_kwargs.get("precision", "highest"),
+                                  folded=dst_folded)
             if guarded and return_inset:
                 return clamp_cast_guarded_pallas(u), "guarded"
             interior = clamp_cast_pallas(u, out_hw=(h2, w2))

@@ -67,6 +67,112 @@ def dst_eigenvalues_padded(n: int, n_pad: int):
     return lam
 
 
+# ---------------------------------------------------------------------------
+# Folded (even/odd) DST transforms: half the MXU FLOPs per axis
+# ---------------------------------------------------------------------------
+#
+# The DST-I matrix has the reflection symmetry V[n-1-j, i] = (-1)^i V[j, i]
+# (sin((i+1)(n-j)pi/(n+1)) = (-1)^i sin((i+1)(j+1)pi/(n+1))): every EVEN
+# output depends only on the symmetric fold s_j = x_j + x_{n-1-j} and every
+# ODD output only on the antisymmetric fold d_j = x_j - x_{n-1-j}. So one
+# n x n transform GEMM splits into TWO (n/2)-sized GEMMs plus an elementwise
+# fold — half the MXU work (the solver is FLOP-bound at large sizes:
+# docs/PERF.md, ~3.2 ms of the 4 ms serve frame at 2400x1552). The inverse
+# direction uses the same identity on its OUTPUT index: out_x = E_x + O_x,
+# out_{n-1-x} = E_x - O_x with E/O the even/odd spectral half-transforms.
+# The spectral axis stays in GROUPED order (even block, then odd block)
+# between forward and inverse, so no interleave is ever materialized — only
+# the grouped eigenvalue vector differs. Same math as the classic
+# odd/even DST decimation, laid out for the MXU.
+
+
+def _ru128(x: int) -> int:
+    return (x + 127) // 128 * 128
+
+
+def fold_pays(n: int) -> bool:
+    """Whether the folded transform wins for axis size n (128-pad aware):
+    two half-size padded GEMMs vs one full-size padded GEMM."""
+    ep = _ru128((n + 1) // 2)
+    op = _ru128(n // 2)
+    return ep * ep + op * op < _ru128(n) ** 2
+
+
+@lru_cache(maxsize=64)
+def dst_matrices_folded(n: int):
+    """Padded folded DST-I factor matrices (Vep, Vop, Ve2p, Vo2p) f32.
+
+    he = ceil(n/2), ho = n//2, ep/op their 128-roundups:
+    - Vep (ep, ep): Vep[j, r] = V[j, 2r]     (fwd even; row he-1 of odd n is
+      the self-paired middle element, counted once in the fold)
+    - Vop (op, op): Vop[j, r] = V[j, 2r+1]   (fwd odd)
+    - Ve2p (ep, ep): Ve2p[r, x] = V[2r, x]   (inv even, x < he)
+    - Vo2p (op, ep): Vo2p[r, x] = V[2r+1, x] (inv odd; V[odd, mid] = 0 makes
+      the odd n middle output come out of the even part alone)
+    Built host-side in f64 like dst_matrix; zero padding keeps the padded-
+    space chain exact.
+    """
+    i = np.arange(1, n + 1, dtype=np.float64)
+    v = np.sin(np.outer(i, i) * (np.pi / (n + 1))) * np.sqrt(2.0 / (n + 1))
+    he, ho = (n + 1) // 2, n // 2
+    ep, op = _ru128(he), _ru128(ho)
+    vep = np.zeros((ep, ep), np.float32)
+    vep[:he, :he] = v[:he, 0::2]
+    vop = np.zeros((op, op), np.float32)
+    vop[:ho, :ho] = v[:ho, 1::2]
+    ve2p = np.zeros((ep, ep), np.float32)
+    ve2p[:he, :he] = v[0::2, :he]
+    vo2p = np.zeros((op, ep), np.float32)
+    vo2p[:ho, :he] = v[1::2, :he]
+    return vep, vop, ve2p, vo2p
+
+
+@lru_cache(maxsize=256)
+def dst_eigenvalues_grouped(n: int):
+    """dst_eigenvalues(n) in the folded chain's GROUPED spectral order:
+    [even-index eigenvalues | pad 1e9 to ep | odd-index | pad 1e9 to op]."""
+    he, ho = (n + 1) // 2, n // 2
+    ep, op = _ru128(he), _ru128(ho)
+    lam = dst_eigenvalues(n)
+    out = np.full(ep + op, 1e9, np.float32)
+    out[:he] = lam[0::2]
+    out[ep : ep + ho] = lam[1::2]
+    return out
+
+
+def dst_fwd_folded_minor(a: jnp.ndarray, n: int, mm) -> jnp.ndarray:
+    """Folded DST along the minor axis: (..., KP >= n, zero-padded beyond n)
+    -> (..., ep + op) spectral in GROUPED even/odd order (zero-padded)."""
+    he, ho = (n + 1) // 2, n // 2
+    ep, op = _ru128(he), _ru128(ho)
+    vep, vop, _, _ = dst_matrices_folded(n)
+    head = a[..., :ho]
+    tail = jnp.flip(a[..., n - ho : n], -1)  # a_{n-1-j}, j = 0..ho-1
+    s = head + tail
+    d = head - tail
+    if n % 2:
+        s = jnp.concatenate([s, a[..., ho : ho + 1]], axis=-1)
+    zpad = [(0, 0)] * (a.ndim - 1)
+    s = jnp.pad(s, zpad + [(0, ep - he)])
+    d = jnp.pad(d, zpad + [(0, op - ho)])
+    return jnp.concatenate([mm(s, vep), mm(d, vop)], axis=-1)
+
+
+def dst_inv_folded_minor(a: jnp.ndarray, n: int, out_pad: int, mm) -> jnp.ndarray:
+    """Inverse folded DST along the minor axis: grouped spectral (..., ep+op)
+    -> natural (..., out_pad) with exact zeros beyond n."""
+    he, ho = (n + 1) // 2, n // 2
+    ep, op = _ru128(he), _ru128(ho)
+    _, _, ve2p, vo2p = dst_matrices_folded(n)
+    e = mm(a[..., :ep], ve2p)        # E_x, x < he (zeros beyond)
+    o = mm(a[..., ep : ep + op], vo2p)
+    first = (e + o)[..., :he]                     # out_x,        x < he
+    second = jnp.flip((e - o)[..., :ho], -1)      # out_{n-1-x},  x = ho-1..0
+    zpad = [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(jnp.concatenate([first, second], axis=-1),
+                   zpad + [(0, out_pad - n)])
+
+
 @lru_cache(maxsize=64)
 def beta_eigenbasis(n: int, beta: float):
     """Eigenbasis of the 1-D Dirichlet tridiagonal with a short last gap.
@@ -166,10 +272,12 @@ def _mm_left(m, a, prec):
     return jnp.einsum("ij,...jk->...ik", m, a, precision=prec)
 
 
-@partial(jax.jit, static_argnames=("h2", "w2", "precision", "interpret"))
+@partial(jax.jit, static_argnames=("h2", "w2", "precision", "interpret",
+                                   "folded"))
 def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
                       precision: str = "highest",
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      folded: bool = False) -> jnp.ndarray:
     """DST solve in PADDED space with Pallas transposes (TPU serve path).
 
     XLA canonicalizes every GEMM of the DST chain to a right-multiply
@@ -187,12 +295,18 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
     exact and zero-padded, so nothing is sliced or re-padded between stages
     (each such slice cost 0.65-0.9 ms as a misaligned relayout copy). Out:
     (C, HPo, WPo) f32, the natural-orientation solution at the origin.
+
+    ``folded=True`` runs each axis transform in the even/odd FOLDED form
+    (see dst_matrices_folded): two half-size GEMMs per transform — half the
+    MXU FLOPs — at the cost of one elementwise fold/unfold pass per
+    transform. The spectral axes travel in grouped even/odd order between
+    forward and inverse (grouped eigenvalue vectors feed the fused divide),
+    so nothing is re-interleaved mid-chain. Applied per axis only where the
+    128-padded half-GEMMs actually win (fold_pays).
     """
     from seamlesscloneoptimization_tpu.ops.pallas_kernels import transpose_pallas
 
     c, wp, hp = g_tp.shape
-    vhp = dst_matrix_padded(h2, hp)
-    vwp = dst_matrix_padded(w2, wp)
     hi = lambda a, v: _mm(a, v, _PRECISIONS["high"])  # noqa: E731
     lo = lambda a, v: _mm_2x(a, v, "2x_v")  # noqa: E731
     if precision in ("2x_img", "2x_v"):
@@ -204,18 +318,31 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
     else:
         prec = _PRECISIONS[precision]
         mm = mm_inv = lambda a, v: _mm(a, v, prec)  # noqa: E731
+
+    def axis_ops(n, n_pad):
+        """(fwd, inv, lam) for one axis: folded where it pays, plain else."""
+        if folded and fold_pays(n):
+            return (lambda a: dst_fwd_folded_minor(a, n, mm),
+                    lambda a: dst_inv_folded_minor(a, n, n_pad, mm_inv),
+                    dst_eigenvalues_grouped(n))
+        vp = dst_matrix_padded(n, n_pad)
+        return (lambda a: mm(a, vp),
+                lambda a: mm_inv(a, vp),
+                dst_eigenvalues_padded(n, n_pad))
+
+    fwd_h, inv_h, lam_h = axis_ops(h2, hp)
+    fwd_w, inv_w, lam_w = axis_ops(w2, wp)
     # forward: ghat = Vh G Vw, held transposed between the two multiplies
-    s1 = mm(g_tp, vhp)                   # (C,WP,HP) = (Vh G)^T
-    tr1 = transpose_pallas(s1, interpret=interpret)   # (C,HP,WP) = Vh G
-    s2 = mm(tr1, vwp)                    # (C,HP,WP) = ghat
+    s1 = fwd_h(g_tp)                     # (C,WP,HG) = (Vh G)^T
+    tr1 = transpose_pallas(s1, interpret=interpret)   # (C,HG,WP) = Vh G
+    s2 = fwd_w(tr1)                      # (C,HG,WG) = ghat
     # spectral divide fused into the transpose back: uhat^T
-    tr2 = transpose_pallas(s2, lam_a=dst_eigenvalues_padded(h2, hp),
-                           lam_b=dst_eigenvalues_padded(w2, wp),
-                           interpret=interpret)       # (C,WP,HP) = uhat^T
+    tr2 = transpose_pallas(s2, lam_a=lam_h, lam_b=lam_w,
+                           interpret=interpret)       # (C,WG,HG) = uhat^T
     # inverse: u = Vh uhat Vw
-    s4 = mm_inv(tr2, vhp)                # (C,WP,HP) = (Vh uhat)^T
-    tr3 = transpose_pallas(s4, interpret=interpret)   # (C,HP,WP) = Vh uhat
-    return mm_inv(tr3, vwp)              # (C,HP,WP) = u (padded)
+    s4 = inv_h(tr2)                      # (C,WG,HP) = (Vh uhat)^T
+    tr3 = transpose_pallas(s4, interpret=interpret)   # (C,HP,WG) = Vh uhat
+    return inv_w(tr3)                    # (C,HP,WP) = u (padded)
 
 
 @partial(jax.jit, static_argnames=("transform_only", "precision",

@@ -367,6 +367,31 @@ class TestServeChainPallas:
         # everything outside the ROI interior is untouched destination
         assert np.array_equal(out[0, :, :], sky[0, :, :])
 
+    def test_engine_full_pallas_folded_dst_matches(self, airplane, sky, irregular_mask):
+        """dst_folded (even/odd-folded DST GEMMs) through the engine fast
+        path == the plain engine within 1 LSB."""
+        import contextlib
+        from unittest import mock
+
+        from seamlesscloneoptimization_tpu.core.config import CloneConfig
+        from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+
+        eng = SeamlessClone(CloneConfig(
+            use_pallas_preprocess=True, use_pallas_postprocess=True,
+            dst_folded=True))
+        with contextlib.ExitStack() as es:
+            for p in self._interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            out = np.asarray(eng.run(airplane, sky, irregular_mask.copy(), (700, 300)))
+        want = np.asarray(SeamlessClone(CloneConfig()).run(
+            airplane, sky, irregular_mask.copy(), (700, 300)))
+        diff = np.abs(out.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+        assert np.array_equal(out[0, :, :], sky[0, :, :])
+
     def test_planar_full_pallas_serve_matches(self, airplane, sky, irregular_mask):
         """The planar serve step (full-Pallas chain + tile-local Pallas
         paste) must match the plain engine within 1 LSB."""

@@ -55,6 +55,77 @@ class TestDirectSolvers:
         xx = dst1_2d(dst1_2d(x))
         assert jnp.abs(xx - x).max() < 1e-4
 
+    # odd/odd, even/even, odd/even and a one-axis-gated (tiny h) case
+    @pytest.mark.parametrize("hw", [(255, 257), (256, 384), (255, 384), (61, 300)])
+    def test_folded_dst_transform_roundtrip(self, hw):
+        """Folded fwd o grouped-eigendivide o folded inv == plain transform
+        chain, on one axis at a time (the _pl chain composes these)."""
+        from seamlesscloneoptimization_tpu.solvers.dst_gemm import (
+            _ru128,
+            dst_eigenvalues_grouped,
+            dst_fwd_folded_minor,
+            dst_inv_folded_minor,
+            dst_matrix,
+        )
+
+        h, n = hw
+        rng = np.random.default_rng(n)
+        kp = _ru128(n)
+        x = np.zeros((2, h, kp), np.float32)
+        x[:, :, :n] = rng.normal(size=(2, h, n)).astype(np.float32) * 40
+        xj = jnp.asarray(x)
+        mm = lambda a, v: jnp.einsum("...ij,jk->...ik", a, v)  # noqa: E731
+
+        spec = dst_fwd_folded_minor(xj, n, mm)
+        he, ho = (n + 1) // 2, n // 2
+        ep = _ru128(he)
+        v = np.asarray(dst_matrix(n))
+        want_spec = x[:, :, :n] @ v
+        got_even = np.asarray(spec)[:, :, :he]
+        got_odd = np.asarray(spec)[:, :, ep : ep + ho]
+        tol = 1e-3 * np.abs(want_spec).max()
+        assert np.abs(got_even - want_spec[:, :, 0::2]).max() < tol
+        assert np.abs(got_odd - want_spec[:, :, 1::2]).max() < tol
+        # grouped padding slots must be exactly zero (padded-chain contract)
+        def maxabs(a):
+            return np.abs(a).max() if a.size else 0.0
+
+        assert maxabs(np.asarray(spec)[:, :, he:ep]) == 0.0
+        assert maxabs(np.asarray(spec)[:, :, ep + ho :]) == 0.0
+
+        lam = jnp.asarray(dst_eigenvalues_grouped(n))
+        back = dst_inv_folded_minor(spec / lam, n, kp, mm)
+        # reference: plain chain u = (x V / lam_natural) V
+        from seamlesscloneoptimization_tpu.solvers.dst_gemm import dst_eigenvalues
+        want = (want_spec / np.asarray(dst_eigenvalues(n))[None, None, :]) @ v
+        got = np.asarray(back)
+        assert np.abs(got[:, :, :n] - want).max() < 1e-3 * np.abs(want).max()
+        assert maxabs(got[:, :, n:]) == 0.0
+
+    @pytest.mark.parametrize("hw", [(255, 300), (190, 296), (300, 255)])
+    def test_solve_dst_gemm_pl_folded_matches_plain(self, hw):
+        """The folded padded-space chain == the unfolded one (both interpret
+        mode; folding halves the GEMM FLOPs, docs/PERF.md)."""
+        from seamlesscloneoptimization_tpu.solvers.dst_gemm import (
+            _ru128,
+            solve_dst_gemm_pl,
+        )
+
+        h2, w2 = hw
+        g = _rand_g(h2, w2, seed=9)
+        hp, wp = _ru128(h2), _ru128(w2)
+        g_tp = jnp.zeros((3, wp, hp), jnp.float32)
+        g_tp = g_tp.at[:, :w2, :h2].set(jnp.swapaxes(g, 1, 2))
+        want = np.asarray(solve_dst_gemm_pl(g_tp, h2=h2, w2=w2, interpret=True))
+        got = np.asarray(solve_dst_gemm_pl(g_tp, h2=h2, w2=w2, interpret=True,
+                                           folded=True))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-5
+        # padding must stay (near-)zero for downstream slicing
+        pad_mask = np.ones(got.shape, bool)
+        pad_mask[:, :h2, :w2] = False
+        assert np.abs(got[pad_mask]).max() < 1e-4 * scale
+
 
 class TestIterativeSolvers:
     @pytest.mark.parametrize("hw", [(31, 31), (64, 48)])
