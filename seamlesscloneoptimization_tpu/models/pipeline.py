@@ -65,9 +65,10 @@ def clone_roi(
     paste_interior_pallas (the planar serve loop's tile-local paste).
     """
     solver_kwargs = dict(solver_kwargs or {})
-    # "folded" (even/odd-folded DST GEMMs) is implemented by the padded
-    # Pallas chain only (solve_dst_gemm_pl); strip it before generic calls
-    dst_folded = bool(solver_kwargs.pop("folded", False))
+    # "folded" (even/odd-folded DST GEMMs): only present when the solver is
+    # dst_gemm (CloneConfig.solver_kwargs), accepted by both the generic
+    # solve_dst_gemm and the padded Pallas chain below
+    dst_folded = bool(solver_kwargs.get("folded", False))
     if not _pallas_backend_available():
         use_pallas_pre = False  # Pallas TPU kernels cannot lower elsewhere
         use_pallas_post = False

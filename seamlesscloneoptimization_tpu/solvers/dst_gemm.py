@@ -173,6 +173,38 @@ def dst_inv_folded_minor(a: jnp.ndarray, n: int, out_pad: int, mm) -> jnp.ndarra
                    zpad + [(0, out_pad - n)])
 
 
+def dst_fwd_folded_rows(a: jnp.ndarray, n: int, mm_left) -> jnp.ndarray:
+    """Folded DST along axis -2 (left-multiply orientation): (..., n, M)
+    -> (..., ep + op, M) spectral in grouped even/odd order."""
+    he, ho = (n + 1) // 2, n // 2
+    ep, op = _ru128(he), _ru128(ho)
+    vep, vop, _, _ = dst_matrices_folded(n)
+    head = a[..., :ho, :]
+    tail = jnp.flip(a[..., n - ho : n, :], -2)
+    s = head + tail
+    d = head - tail
+    if n % 2:
+        s = jnp.concatenate([s, a[..., ho : ho + 1, :]], axis=-2)
+    zpad = [(0, 0)] * (a.ndim - 2)
+    s = jnp.pad(s, zpad + [(0, ep - he), (0, 0)])
+    d = jnp.pad(d, zpad + [(0, op - ho), (0, 0)])
+    # out[2r] = sum_j Ve[j, r] s_j  ->  Ve^T @ s (and likewise odd)
+    return jnp.concatenate([mm_left(vep.T, s), mm_left(vop.T, d)], axis=-2)
+
+
+def dst_inv_folded_rows(a: jnp.ndarray, n: int, mm_left) -> jnp.ndarray:
+    """Inverse folded DST along axis -2: grouped spectral (..., ep+op, M)
+    -> natural (..., n, M)."""
+    he, ho = (n + 1) // 2, n // 2
+    ep, op = _ru128(he), _ru128(ho)
+    _, _, ve2p, vo2p = dst_matrices_folded(n)
+    e = mm_left(ve2p.T, a[..., :ep, :])           # E_x = sum_r Ve2[r, x] ue_r
+    o = mm_left(vo2p.T, a[..., ep : ep + op, :])
+    first = (e + o)[..., :he, :]
+    second = jnp.flip((e - o)[..., :ho, :], -2)
+    return jnp.concatenate([first, second], axis=-2)
+
+
 @lru_cache(maxsize=64)
 def beta_eigenbasis(n: int, beta: float):
     """Eigenbasis of the 1-D Dirichlet tridiagonal with a short last gap.
@@ -345,20 +377,49 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
     return inv_w(tr3)                    # (C,HP,WP) = u (padded)
 
 
+def _solve_folded(g2: jnp.ndarray, nr: int, nc: int, prec) -> jnp.ndarray:
+    """Folded-transform solve of the (C, nr, nc) system, per-axis gated.
+
+    Rows go through the left-multiply folds, columns through the minor-axis
+    folds; the spectral domain lives in grouped even/odd order on each
+    folded axis, with the matching grouped (1e9-padded) eigenvalue vectors.
+    """
+    mm_l = lambda m, a: _mm_left(m, a, prec)  # noqa: E731
+    mm_r = lambda a, m: _mm(a, m, prec)  # noqa: E731
+    fr, fc = fold_pays(nr), fold_pays(nc)
+    x = (dst_fwd_folded_rows(g2, nr, mm_l) if fr
+         else _mm_left(dst_matrix(nr), g2, prec))
+    x = (dst_fwd_folded_minor(x, nc, mm_r) if fc
+         else _mm(x, dst_matrix(nc), prec))
+    lr = dst_eigenvalues_grouped(nr) if fr else dst_eigenvalues(nr)
+    lc = dst_eigenvalues_grouped(nc) if fc else dst_eigenvalues(nc)
+    x = x / jnp.asarray(lr[:, None] + lc[None, :])[None]
+    x = (dst_inv_folded_rows(x, nr, mm_l) if fr
+         else _mm_left(dst_matrix(nr), x, prec))
+    return (dst_inv_folded_minor(x, nc, nc, mm_r) if fc
+            else _mm(x, dst_matrix(nc), prec))
+
+
 @partial(jax.jit, static_argnames=("transform_only", "precision",
-                                   "transposed_output", "transposed_input"))
+                                   "transposed_output", "transposed_input",
+                                   "folded"))
 def solve_dst_gemm(
     g: jnp.ndarray,
     transform_only: bool = False,
     precision: str = "highest",
     transposed_output: bool = False,
     transposed_input: bool = False,
+    folded: bool = False,
 ) -> jnp.ndarray:
     """Solve A u = g for g: (C, H, W) f32 via 4 batched GEMMs.
 
     ``transposed_input=True`` means g arrives as (C, W, H) and the whole
     chain runs in transposed space with no physical transpose at either end
     (the output is then always transposed).
+
+    ``folded=True`` uses the even/odd-folded transforms (half the MXU FLOPs
+    per axis where the fold pays — see dst_matrices_folded); ignored for
+    ``transform_only`` whose contract is the natural-order spectrum.
 
     precision: "highest" (f32 accumulation, bit-matches the NumPy oracle) |
     "high" (bf16_3x MXU passes, ~2.2x faster on v5e). Measured end-to-end
@@ -370,6 +431,8 @@ def solve_dst_gemm(
     prec = _PRECISIONS[precision]
     if transposed_input:
         _, w, h = g.shape
+        if folded:
+            return _solve_folded(g, w, h, prec)
         vh = dst_matrix(h)
         vw = dst_matrix(w)
         lam_t = jnp.asarray(dst_eigenvalues(w)[:, None] + dst_eigenvalues(h)[None, :])
@@ -377,18 +440,24 @@ def solve_dst_gemm(
         uhat_t = ghat_t / lam_t[None, :, :]
         return _mm(_mm_left(vw, uhat_t, prec), vh, prec)
     _, h, w = g.shape
-    vh = dst_matrix(h)
-    vw = dst_matrix(w)
     if transposed_output:
         # run the whole chain in transposed space so the LOGICAL output is
         # (C, W, H): XLA's internal GEMM schedule already ends transposed
         # (see docs/PERF.md op profile), so this skips the final physical
         # un-transpose and lets a layout-aware postprocess consume it
-        lam_t = jnp.asarray(dst_eigenvalues(w)[:, None] + dst_eigenvalues(h)[None, :])
         g_t = jnp.swapaxes(g, 1, 2)
+        if folded:
+            return _solve_folded(g_t, w, h, prec)
+        vh = dst_matrix(h)
+        vw = dst_matrix(w)
+        lam_t = jnp.asarray(dst_eigenvalues(w)[:, None] + dst_eigenvalues(h)[None, :])
         ghat_t = _mm(_mm_left(vw, g_t, prec), vh, prec)
         uhat_t = ghat_t / lam_t[None, :, :]
         return _mm(_mm_left(vw, uhat_t, prec), vh, prec)
+    if folded and not transform_only:
+        return _solve_folded(g, h, w, prec)
+    vh = dst_matrix(h)
+    vw = dst_matrix(w)
     lam = jnp.asarray(dst_eigenvalues(h)[:, None] + dst_eigenvalues(w)[None, :])
     ghat = _mm(_mm_left(vh, g, prec), vw, prec)
     if transform_only:

@@ -102,6 +102,25 @@ class TestDirectSolvers:
         assert np.abs(got[:, :, :n] - want).max() < 1e-3 * np.abs(want).max()
         assert maxabs(got[:, :, n:]) == 0.0
 
+    @pytest.mark.parametrize("hw", [(255, 300), (300, 296), (190, 296)])
+    @pytest.mark.parametrize("layout", ["natural", "t_out", "t_in"])
+    def test_solve_dst_gemm_folded_matches(self, hw, layout):
+        """solve_dst_gemm(folded=True) == unfolded in every layout variant
+        (per-axis gating included: 190 folds, 296+ folds, both orders)."""
+        g = _rand_g(*hw, seed=11)
+        if layout == "natural":
+            want = solve_dst_gemm(g)
+            got = solve_dst_gemm(g, folded=True)
+        elif layout == "t_out":
+            want = solve_dst_gemm(g, transposed_output=True)
+            got = solve_dst_gemm(g, transposed_output=True, folded=True)
+        else:
+            g_t = jnp.swapaxes(g, 1, 2)
+            want = solve_dst_gemm(g_t, transposed_input=True)
+            got = solve_dst_gemm(g_t, transposed_input=True, folded=True)
+        scale = jnp.abs(want).max()
+        assert jnp.abs(got - want).max() / scale < 1e-5
+
     @pytest.mark.parametrize("hw", [(255, 300), (190, 296), (300, 255)])
     def test_solve_dst_gemm_pl_folded_matches_plain(self, hw):
         """The folded padded-space chain == the unfolded one (both interpret
