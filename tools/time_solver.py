@@ -73,6 +73,9 @@ def main():
         "multigrid_dyn": _mg_dyn,
         "dst_gemm": partial(solve_dst_gemm, precision="high"),
         "dst_gemm_f32": partial(solve_dst_gemm, precision="highest"),
+        "dst_gemm_folded": partial(solve_dst_gemm, precision="high", folded=True),
+        "dst_gemm_f32_folded": partial(solve_dst_gemm, precision="highest",
+                                       folded=True),
         "sweeps4_pl": jax.jit(_sweeps4_pl),
         "sweep1_xla": jax.jit(lambda g: redblack_sweep(jnp.zeros_like(g), g)),
         "residual": jax.jit(lambda g: _resid(g * 0.5, g)),
