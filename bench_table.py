@@ -11,6 +11,7 @@ Prints a markdown table plus one JSON line per row.
 from __future__ import annotations
 
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -50,10 +51,11 @@ def main():
         mask = np.full((ph, pw), 255, np.uint8)
         center = (dw // 2, dh // 2)
         row = {"patch": f"{pw}x{ph}", "dst": f"{dw}x{dh}", "v100_fft_ms": v100_ms}
+        folded = os.environ.get("SCL_DST_FOLDED", "0") == "1"
         for label, prec in (("exact_f32", "highest"), ("fast_bf16x3", "high")):
             eng = SeamlessClone(
                 CloneConfig(solver="dst_gemm", precision=prec, donate_dst=True,
-                            use_pallas_preprocess=True)
+                            use_pallas_preprocess=True, dst_folded=folded)
             )
             # the loop total must dwarf the sync round-trip correction
             # (~30-80 ms through the tunnel), or small sizes underflow
