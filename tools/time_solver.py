@@ -35,14 +35,19 @@ def main():
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import rb_sweeps_pallas
         return rb_sweeps_pallas(jnp.zeros_like(g), g, 4)
 
+    import os
+
+    th_env = os.environ.get("SCL_MG_TH")  # strip-height sweep knob
+    th_kw = {"th": int(th_env)} if th_env else {}
+
     def _mg_down(g):
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_down_pallas
-        u, rh = mg_down_pallas(jnp.zeros_like(g), g, 1)
+        u, rh = mg_down_pallas(jnp.zeros_like(g), g, 1, **th_kw)
         return u + jnp.pad(rh, ((0, 0), (0, g.shape[1] - rh.shape[1]), (0, 0)))
 
     def _mg_up(g):
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_up_pallas
-        return mg_up_pallas(jnp.zeros_like(g), g, g * 0.5, 2)
+        return mg_up_pallas(jnp.zeros_like(g), g, g * 0.5, 2, **th_kw)
 
     def _mg_dyn(g):
         # runtime-domain multigrid at a true size ~0.8x the padded shape
