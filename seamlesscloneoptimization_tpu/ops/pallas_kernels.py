@@ -99,6 +99,19 @@ def _ghost_blocked() -> bool:
     return os.environ.get("SCL_PALLAS_GHOST", "element") == "blocked"
 
 
+def mg_geometry(h: int, w: int, th: int | None = None) -> tuple[int, int, int]:
+    """(th, hp, wp) for the fused multigrid level kernels at true size (h, w).
+
+    The padded-space V-cycle (solvers/multigrid.py:vcycle_p) must allocate
+    its level arrays with EXACTLY the padding the kernels' blocked specs
+    expect; this is the single source of that geometry.
+    """
+    wp = _round_up(w, 128)
+    if th is None:
+        th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
+    return th, _round_up(h, th), wp
+
+
 def _ghost_specs(th: int, hp: int, wp: int):
     """(center, top-ghost, bottom-ghost) block specs for a (C, hp, wp) input."""
     nb = hp // _M  # the ghost specs view the array as M-row blocks
@@ -341,10 +354,13 @@ def _mg_down_kernel_b(uc, ut, ub, gc, gt, gb, uo_ref, rh_ref, *, nu1, th, h,
         bh=bh, bw=bw)
 
 
-@partial(jax.jit, static_argnames=("nu1", "bh", "bw", "interpret", "th", "blocked"))
+@partial(jax.jit, static_argnames=("nu1", "bh", "bw", "interpret", "th", "blocked",
+                                   "padded_io", "true_hw"))
 def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
                    bh: float = 1.0, bw: float = 1.0, interpret: bool = False,
-                   th: int | None = None, blocked: bool | None = None):
+                   th: int | None = None, blocked: bool | None = None,
+                   padded_io: bool = False,
+                   true_hw: tuple[int, int] | None = None):
     """Fused V-cycle descent: nu1 sweeps + residual + row-restrict, one pass.
 
     (C, H, W) f32 -> (swept u (C, H, W), row-restricted residual
@@ -352,10 +368,42 @@ def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
     (multigrid._restrict_axis) and the 4x coarse-RHS scaling on the
     half-height output. nu1 must be <= 2 (ghost-band staleness budget).
     ``th`` overrides the strip height (multiple of 16; tuning knob).
+
+    ``padded_io=True`` (blocked mode only): u/g arrive ALREADY in rounded
+    space — (C, hp, wp) per mg_geometry(*true_hw), exact zeros outside the
+    true (h, w) domain — and the outputs stay in rounded space, uncropped.
+    This removes the 2 pad + 2 crop full-array passes per launch; the
+    padded-space V-cycle (solvers/multigrid.py) keeps whole level
+    hierarchies rounded so they never materialize at all.
     """
     assert 0 <= nu1 <= 2, nu1
     if blocked is None:
         blocked = _ghost_blocked()
+    if padded_io:
+        assert true_hw is not None
+        h, w = true_hw
+        c = u.shape[0]
+        th, hp, wp = mg_geometry(h, w, th)
+        assert u.shape == (c, hp, wp) and g.shape == (c, hp, wp), (
+            u.shape, g.shape, (c, hp, wp))
+        hc = (h - 1) // 2
+        ctr, top, bot = _ghost_specs(th, hp, wp)
+        u_out, rh = pl.pallas_call(
+            partial(_mg_down_kernel_b, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
+                    h_even=(h % 2 == 0), bh=bh, bw=bw),
+            grid=(c, hp // th),
+            in_specs=[ctr, top, bot] * 2,
+            out_specs=[
+                pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
+                pl.BlockSpec((1, th // 2, wp), lambda ci, i: (ci, i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((c, hp // 2, wp), jnp.float32),
+            ],
+            interpret=interpret,
+        )(u, u, u, g, g, g)
+        return u_out, rh
     c, h, w = u.shape
     wp = _round_up(w, 128)
     if th is None:
@@ -465,21 +513,47 @@ def _coarse_halo_spec(thc: int, wp: int):
     )
 
 
-@partial(jax.jit, static_argnames=("nu2", "bh", "bw", "interpret", "th", "blocked"))
+@partial(jax.jit, static_argnames=("nu2", "bh", "bw", "interpret", "th", "blocked",
+                                   "padded_io", "true_hw"))
 def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
                  nu2: int = 2, bh: float = 1.0, bw: float = 1.0,
                  interpret: bool = False, th: int | None = None,
-                 blocked: bool | None = None) -> jnp.ndarray:
+                 blocked: bool | None = None, padded_io: bool = False,
+                 true_hw: tuple[int, int] | None = None) -> jnp.ndarray:
     """Fused V-cycle ascent: row-prolong of the lane-prolonged coarse
     correction + add + nu2 sweeps, one pass.
 
     e_lane: (C, (H-1)//2, W) — the coarse correction already prolonged along
     the lane axis by multigrid._prolong_axis. nu2 <= 4.
     ``th`` overrides the strip height (multiple of 16; tuning knob).
+
+    ``padded_io=True`` (blocked mode only): u/g are (C, hp, wp) rounded
+    per mg_geometry(*true_hw), e_lane is (C, hp//2, wp), all exact zeros
+    outside their true domains; the output stays rounded (see
+    mg_down_pallas).
     """
     assert 0 <= nu2 <= 4, nu2
     if blocked is None:
         blocked = _ghost_blocked()
+    if padded_io:
+        assert true_hw is not None
+        h, w = true_hw
+        c = u.shape[0]
+        th, hp, wp = mg_geometry(h, w, th)
+        hc = (h - 1) // 2
+        assert u.shape == (c, hp, wp) and g.shape == (c, hp, wp)
+        assert e_lane.shape == (c, hp // 2, wp), (e_lane.shape, (c, hp // 2, wp))
+        ctr, top, bot = _ghost_specs(th, hp, wp)
+        ec_ctr, ec_top, ec_bot = _ghost_specs(th // 2, hp // 2, wp)
+        return pl.pallas_call(
+            partial(_mg_up_kernel_b, nu2=nu2, th=th, h=h, w=w, wp=wp, hc=hc,
+                    h_even=(h % 2 == 0), bh=bh, bw=bw),
+            grid=(c, hp // th),
+            in_specs=[ctr, top, bot, ctr, top, bot, ec_ctr, ec_top, ec_bot],
+            out_specs=pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            interpret=interpret,
+        )(u, u, u, g, g, g, e_lane, e_lane, e_lane)
     c, h, w = u.shape
     hc = (h - 1) // 2
     assert e_lane.shape == (c, hc, w), (e_lane.shape, u.shape)

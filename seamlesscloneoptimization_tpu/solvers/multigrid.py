@@ -311,6 +311,49 @@ def vcycle(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest:
     return _sweeps_b(u, g, nu2, bh, bw)
 
 
+def _pad_to(x: jnp.ndarray, shape) -> jnp.ndarray:
+    return jnp.pad(x, [(0, t - s) for s, t in zip(x.shape, shape)])
+
+
+def vcycle_p(u_p: jnp.ndarray, g_p: jnp.ndarray, h: int, w: int,
+             nu1: int = 1, nu2: int = 2, coarsest: int = 63,
+             use_pallas: bool = True, interpret: bool = False,
+             bh: float = 1.0, bw: float = 1.0) -> jnp.ndarray:
+    """One V-cycle in ROUNDED space (blocked-ghost Pallas levels).
+
+    u_p/g_p: (C, hp, wp) per ops.pallas_kernels.mg_geometry(h, w), exact
+    zeros outside the true (h, w) domain; the output keeps both invariants.
+    Levels run as the padded_io fused kernels, which removes the 2-pad +
+    2-crop full-array passes that every mg_down/mg_up launch of the plain
+    vcycle pays (XLA materializes each as a whole-array copy — ~4 extra
+    HBM round-trips per level per cycle, ~1.3 ms of the 5.06 ms mg_down
+    at 3x2798x3798). Non-fused levels (small grids) fall back to the exact
+    ``vcycle`` on the cropped interior.
+    """
+    from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+        mg_down_pallas, mg_geometry, mg_up_pallas)
+
+    c = u_p.shape[0]
+    small = min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1
+    if small or not _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+        u = vcycle(u_p[:, :h, :w], g_p[:, :h, :w], nu1, nu2, coarsest,
+                   use_pallas, interpret, bh, bw)
+        return _pad_to(u, u_p.shape)
+    hc, bh_c = _coarsen(h, bh)
+    wc, bw_c = _coarsen(w, bw)
+    u_s, rh = mg_down_pallas(u_p, g_p, nu1, bh=bh, bw=bw, interpret=interpret,
+                             blocked=True, padded_io=True, true_hw=(h, w))
+    rc = 4.0 * _restrict_axis(rh[:, :hc, :w], bw)          # (C, hc, wc)
+    _, hpc, wpc = mg_geometry(hc, wc)
+    ec_p = vcycle_p(jnp.zeros((c, hpc, wpc), u_p.dtype), _pad_to(rc, (c, hpc, wpc)),
+                    hc, wc, nu1, nu2, coarsest, use_pallas, interpret, bh_c, bw_c)
+    e_lane = _prolong_axis(ec_p[:, :hc, :wc], w, bw)       # (C, hc, w)
+    e_lane_p = _pad_to(e_lane, (c, u_p.shape[1] // 2, u_p.shape[2]))
+    return mg_up_pallas(u_s, g_p, e_lane_p, nu2, bh=bh, bw=bw,
+                        interpret=interpret, blocked=True, padded_io=True,
+                        true_hw=(h, w))
+
+
 def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 63,
         use_pallas: bool = False, interpret: bool = False,
         bh: float = 1.0, bw: float = 1.0) -> jnp.ndarray:
@@ -336,7 +379,7 @@ def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 63,
 
 @partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2", "return_info",
                                    "use_pallas", "cycles", "pcg", "interpret",
-                                   "coarsest", "fmg_start"))
+                                   "coarsest", "fmg_start", "padded"))
 def solve_multigrid(
     g: jnp.ndarray,
     u0: jnp.ndarray | None = None,
@@ -351,6 +394,7 @@ def solve_multigrid(
     interpret: bool = False,
     coarsest: int = 63,
     fmg_start: bool = False,
+    padded: bool = False,
 ):
     """V-cycle iteration until ||r||_inf <= tol * ||g||_inf.
 
@@ -389,11 +433,26 @@ def solve_multigrid(
         # fori_loop, not an unrolled chain: the V-cycle body is traced ONCE,
         # which cuts the program (and the minutes-long tunnel compile of the
         # unrolled hierarchy) by ~cycles x at identical arithmetic
-        u = jax.lax.fori_loop(
-            0, cycles,
-            lambda _, x: vcycle(x, g, nu1, nu2, coarsest,
-                                use_pallas=use_pallas, interpret=interpret),
-            u)
+        c, h, w = g.shape
+        if padded and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+            # rounded-space iteration: ONE pad in, ONE crop out for the
+            # whole solve (see vcycle_p) instead of per-launch pad/crop
+            from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+                mg_geometry)
+
+            _, hp, wp = mg_geometry(h, w)
+            g_p = _pad_to(g, (c, hp, wp))
+            u = jax.lax.fori_loop(
+                0, cycles,
+                lambda _, x: vcycle_p(x, g_p, h, w, nu1, nu2, coarsest,
+                                      use_pallas=use_pallas, interpret=interpret),
+                _pad_to(u, (c, hp, wp)))[:, :h, :w]
+        else:
+            u = jax.lax.fori_loop(
+                0, cycles,
+                lambda _, x: vcycle(x, g, nu1, nu2, coarsest,
+                                    use_pallas=use_pallas, interpret=interpret),
+                u)
         if return_info:
             return u, {"cycles": jnp.int32(cycles),
                        "residual": jnp.max(jnp.abs(residual(u, g)))}

@@ -539,6 +539,61 @@ class TestFusedMultigridKernels:
         sb = rb_sweeps_pallas(u0, g, 4, interpret=True, th=th, blocked=True)
         assert np.array_equal(np.asarray(se), np.asarray(sb))
 
+    @pytest.mark.parametrize("hw,beta", CASES)
+    def test_padded_io_equals_cropped(self, hw, beta):
+        """padded_io launches == plain blocked launches + explicit pad/crop
+        (bitwise: identical kernels, the pads just move to the caller)."""
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            mg_down_pallas,
+            mg_geometry,
+            mg_up_pallas,
+        )
+
+        h, w = hw
+        bh, bw = beta
+        hc = (h - 1) // 2
+        g = _rand((3, h, w), seed=13)
+        u0 = _rand((3, h, w), seed=14, scale=10.0)
+        e = _rand((3, hc, w), seed=15, scale=5.0)
+        _, hp, wp = mg_geometry(h, w)
+
+        def padto(x, rows):
+            return np.pad(np.asarray(x), ((0, 0), (0, rows - x.shape[1]),
+                                          (0, wp - x.shape[2])))
+
+        up = jnp.asarray(padto(u0, hp))
+        gp = jnp.asarray(padto(g, hp))
+        u_want, rh_want = mg_down_pallas(u0, g, 1, bh=bh, bw=bw,
+                                         interpret=True, blocked=True)
+        u_got, rh_got = mg_down_pallas(up, gp, 1, bh=bh, bw=bw, interpret=True,
+                                       blocked=True, padded_io=True,
+                                       true_hw=(h, w))
+        assert np.array_equal(np.asarray(u_got)[:, :h, :w], np.asarray(u_want))
+        assert np.array_equal(np.asarray(rh_got)[:, :hc, :w], np.asarray(rh_want))
+        # rounded-space zero invariant: everything beyond the domain is 0
+        zm = np.ones(u_got.shape, bool)
+        zm[:, :h, :w] = False
+        assert np.abs(np.asarray(u_got)[zm]).max() == 0.0
+
+        ep = jnp.asarray(padto(e, hp // 2))
+        up_want = mg_up_pallas(u0, g, e, 2, bh=bh, bw=bw, interpret=True,
+                               blocked=True)
+        up_got = mg_up_pallas(up, gp, ep, 2, bh=bh, bw=bw, interpret=True,
+                              blocked=True, padded_io=True, true_hw=(h, w))
+        assert np.array_equal(np.asarray(up_got)[:, :h, :w], np.asarray(up_want))
+        assert np.abs(np.asarray(up_got)[zm]).max() == 0.0
+
+    def test_padded_space_solve_matches_plain(self):
+        """solve_multigrid(padded=True) == padded=False bitwise (interpret
+        fused levels; the size clears the 1<<18 fused-level gate)."""
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        g = _rand((1, 512, 520), seed=16)
+        want = solve_multigrid(g, cycles=2, use_pallas=True, interpret=True)
+        got = solve_multigrid(g, cycles=2, use_pallas=True, interpret=True,
+                              padded=True)
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
     def test_blocked_multi_launch_sweeps(self):
         """>4 sweeps in blocked mode (the repad-free relaunch path)."""
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import rb_sweeps_pallas

@@ -74,6 +74,10 @@ def main():
         "multigrid_xla": partial(solve_multigrid, tol=2e-4, use_pallas=False),
         "multigrid_fixed4": partial(solve_multigrid, cycles=4, use_pallas=True),
         "multigrid_fixed3": partial(solve_multigrid, cycles=3, use_pallas=True),
+        "multigrid_fixed4_padded": partial(solve_multigrid, cycles=4,
+                                           use_pallas=True, padded=True),
+        "multigrid_fixed3_padded": partial(solve_multigrid, cycles=3,
+                                           use_pallas=True, padded=True),
         "vcycle1": partial(solve_multigrid, cycles=1, use_pallas=True),
         "multigrid_dyn": _mg_dyn,
         "dst_gemm": partial(solve_dst_gemm, precision="high"),
