@@ -39,6 +39,8 @@ class CloneConfig:
     max_cycles: int = 60  # multigrid V-cycle cap
     mg_cycles: int | None = None  # fixed-work multigrid: FMG + N cycles, no checks
     use_pallas_smoother: bool = False  # fused k-sweep Pallas smoother (TPU only)
+    mg_padded: bool = False  # rounded-space multigrid V-cycles (blocked-ghost
+    # padded_io level kernels, solvers/multigrid.py:vcycle_p; TPU only)
     use_pallas_preprocess: bool = False  # one-pass Pallas erode+guidance+RHS (TPU only)
     use_pallas_postprocess: bool = False  # layout-aware Pallas blend (TPU + dst_gemm only)
     debug_dump: bool = False  # save per-stage arrays (ref: SCDEBUG dumps)
@@ -66,7 +68,7 @@ class CloneConfig:
         if self.solver == "multigrid":
             return {"tol": self.tol, "max_cycles": self.max_cycles,
                     "use_pallas": self.use_pallas_smoother,
-                    "cycles": self.mg_cycles}
+                    "cycles": self.mg_cycles, "padded": self.mg_padded}
         if self.solver == "dst_gemm":
             return {"precision": self.precision, "folded": self.dst_folded}
         if self.solver == "auto":
@@ -76,7 +78,7 @@ class CloneConfig:
     def cache_key_extras(self) -> tuple:
         return (self.solver, self.precision, self.dst_folded, self.flags,
                 self.mixed_rule, self.tol,
-                self.max_iters, self.max_cycles, self.mg_cycles,
+                self.max_iters, self.max_cycles, self.mg_cycles, self.mg_padded,
                 self.use_pallas_smoother, self.use_pallas_preprocess,
                 self.use_pallas_postprocess, self.bbox_bucket,
                 self.bucket_exact)

@@ -493,6 +493,33 @@ def solve_multigrid(
             return u, {"cycles": it, "residual": jnp.max(jnp.abs(r))}
         return u
 
+    c, h, w = g.shape
+    if padded and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+        # rounded-space while_loop: the residual check crops (1 pass) but
+        # every V-cycle saves the per-launch pad/crop passes (vcycle_p)
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_geometry
+
+        _, hp, wp = mg_geometry(h, w)
+        g_p = _pad_to(g, (c, hp, wp))
+
+        def cond_p(state):
+            u_p, it = state
+            r = residual(u_p[:, :h, :w], g)
+            return (jnp.max(jnp.abs(r)) > tol * gnorm) & (it < max_cycles)
+
+        def body_p(state):
+            u_p, it = state
+            return (vcycle_p(u_p, g_p, h, w, nu1, nu2, coarsest,
+                             use_pallas=use_pallas, interpret=interpret),
+                    it + 1)
+
+        u_p, it = jax.lax.while_loop(cond_p, body_p,
+                                     (_pad_to(u, (c, hp, wp)), jnp.int32(0)))
+        u = u_p[:, :h, :w]
+        if return_info:
+            return u, {"cycles": it, "residual": jnp.max(jnp.abs(residual(u, g)))}
+        return u
+
     def cond(state):
         u, it = state
         return (jnp.max(jnp.abs(residual(u, g))) > tol * gnorm) & (it < max_cycles)

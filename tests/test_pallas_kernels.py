@@ -593,6 +593,14 @@ class TestFusedMultigridKernels:
         got = solve_multigrid(g, cycles=2, use_pallas=True, interpret=True,
                               padded=True)
         assert np.array_equal(np.asarray(got), np.asarray(want))
+        # tolerance-driven (while_loop) path: same bitwise contract
+        want_t, info_w = solve_multigrid(g, tol=1e-3, use_pallas=True,
+                                         interpret=True, return_info=True)
+        got_t, info_g = solve_multigrid(g, tol=1e-3, use_pallas=True,
+                                        interpret=True, padded=True,
+                                        return_info=True)
+        assert np.array_equal(np.asarray(got_t), np.asarray(want_t))
+        assert int(info_g["cycles"]) == int(info_w["cycles"])
 
     def test_blocked_multi_launch_sweeps(self):
         """>4 sweeps in blocked mode (the repad-free relaunch path)."""
