@@ -115,9 +115,11 @@ def main():
     import os
 
     folded = os.environ.get("SCL_DST_FOLDED", "0") == "1"  # A/B knob
+    mg_padded = os.environ.get("SCL_MG_PADDED", "0") == "1"  # A/B knob
     eng = SeamlessClone(CloneConfig(solver=solver, tol=2e-4, donate_dst=True, precision="high",
                                     use_pallas_preprocess=True, use_pallas_postprocess=True,
-                                    use_pallas_smoother=True, dst_folded=folded))
+                                    use_pallas_smoother=True, dst_folded=folded,
+                                    mg_padded=mg_padded))
     _, serve_ms = eng.timed_serve(src, dst, mask, center, loops=loops)
 
     # one per-call e2e sample including host->device uploads (reference
