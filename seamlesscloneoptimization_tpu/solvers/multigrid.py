@@ -326,9 +326,10 @@ def vcycle_p(u_p: jnp.ndarray, g_p: jnp.ndarray, h: int, w: int,
     Levels run as the padded_io fused kernels, which removes the 2-pad +
     2-crop full-array passes that every mg_down/mg_up launch of the plain
     vcycle pays (XLA materializes each as a whole-array copy — ~4 extra
-    HBM round-trips per level per cycle, ~1.3 ms of the 5.06 ms mg_down
-    at 3x2798x3798). Non-fused levels (small grids) fall back to the exact
-    ``vcycle`` on the cropped interior.
+    HBM round-trips per level per cycle; at 3x2798x3798 that is an
+    estimated ~1.3 ms of the measured 5.06 ms mg_down, pending a hardware
+    A/B). Non-fused levels (small grids) fall back to the exact ``vcycle``
+    on the cropped interior.
     """
     from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
         mg_down_pallas, mg_geometry, mg_up_pallas)
