@@ -150,6 +150,7 @@ def main():
                     "solver": solver,
                     "precision": "high",
                     "dst_folded": folded,
+                    "mg_padded": mg_padded,
                     f"serve_ms_per_frame_{size_tag}": round(serve_ms, 3),
                     f"e2e_ms_with_h2d_{size_tag}": round(e2e_ms, 3),
                     "sync_overhead_ms": round(eng.metrics.get("sync_overhead_ms", 0.0), 2),

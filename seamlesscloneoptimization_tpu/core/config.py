@@ -28,8 +28,8 @@ class CloneConfig:
     solver: str = "dst_gemm"  # dst_gemm | dst_fft | jacobi | multigrid | auto
     precision: str = "highest"  # dst_gemm MXU passes: highest (f32) | high (bf16_3x)
     dst_folded: bool = False  # even/odd-folded DST GEMMs: half the MXU FLOPs
-    # per transform (solvers/dst_gemm.py:dst_matrices_folded); serve fast
-    # path (use_pallas_postprocess) only
+    # per transform (solvers/dst_gemm.py:dst_matrices_folded); applies to
+    # both the generic solve_dst_gemm path and the Pallas serve chain
     flags: int = NORMAL_CLONE
     mixed_rule: str = "opencv"  # MIXED_CLONE comparison: "opencv" (bit-parity
     # with shipped cv2: strict |gx_p-gy_p| > |gx_d-gy_d|) | "norm" (the

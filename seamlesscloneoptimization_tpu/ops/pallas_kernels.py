@@ -369,12 +369,13 @@ def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
     half-height output. nu1 must be <= 2 (ghost-band staleness budget).
     ``th`` overrides the strip height (multiple of 16; tuning knob).
 
-    ``padded_io=True`` (blocked mode only): u/g arrive ALREADY in rounded
-    space — (C, hp, wp) per mg_geometry(*true_hw), exact zeros outside the
-    true (h, w) domain — and the outputs stay in rounded space, uncropped.
-    This removes the 2 pad + 2 crop full-array passes per launch; the
-    padded-space V-cycle (solvers/multigrid.py) keeps whole level
-    hierarchies rounded so they never materialize at all.
+    ``padded_io=True`` (forces the blocked-ghost kernels regardless of
+    ``blocked``/env): u/g arrive ALREADY in rounded space — (C, hp, wp) per
+    mg_geometry(*true_hw), exact zeros outside the true (h, w) domain — and
+    the outputs stay in rounded space, uncropped. This removes the 2 pad +
+    2 crop full-array passes per launch; the padded-space V-cycle
+    (solvers/multigrid.py) keeps whole level hierarchies rounded so they
+    never materialize at all.
     """
     assert 0 <= nu1 <= 2, nu1
     if blocked is None:
@@ -405,10 +406,7 @@ def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
         )(u, u, u, g, g, g)
         return u_out, rh
     c, h, w = u.shape
-    wp = _round_up(w, 128)
-    if th is None:
-        th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
-    hp = _round_up(h, th)
+    th, hp, wp = mg_geometry(h, w, th)
     hc = (h - 1) // 2
     kern = partial(_mg_down_kernel, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
                    h_even=(h % 2 == 0), bh=bh, bw=bw)
@@ -527,10 +525,10 @@ def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
     the lane axis by multigrid._prolong_axis. nu2 <= 4.
     ``th`` overrides the strip height (multiple of 16; tuning knob).
 
-    ``padded_io=True`` (blocked mode only): u/g are (C, hp, wp) rounded
-    per mg_geometry(*true_hw), e_lane is (C, hp//2, wp), all exact zeros
-    outside their true domains; the output stays rounded (see
-    mg_down_pallas).
+    ``padded_io=True`` (forces the blocked-ghost kernels regardless of
+    ``blocked``/env): u/g are (C, hp, wp) rounded per mg_geometry(*true_hw),
+    e_lane is (C, hp//2, wp), all exact zeros outside their true domains;
+    the output stays rounded (see mg_down_pallas).
     """
     assert 0 <= nu2 <= 4, nu2
     if blocked is None:
@@ -557,10 +555,7 @@ def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
     c, h, w = u.shape
     hc = (h - 1) // 2
     assert e_lane.shape == (c, hc, w), (e_lane.shape, u.shape)
-    wp = _round_up(w, 128)
-    if th is None:
-        th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
-    hp = _round_up(h, th)
+    th, hp, wp = mg_geometry(h, w, th)
     if blocked:
         up = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)))
         gp = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - w)))

@@ -92,7 +92,13 @@ def _ru128(x: int) -> int:
 
 def fold_pays(n: int) -> bool:
     """Whether the folded transform wins for axis size n (128-pad aware):
-    two half-size padded GEMMs vs one full-size padded GEMM."""
+    two half-size padded GEMMs vs one full-size padded GEMM.
+
+    The model is the MXU's (everything tiles to 128 there); on CPU backends
+    an n slightly above a 128 multiple makes "folded" do more arithmetic
+    than the unpadded plain GEMM — irrelevant for the TPU perf target, and
+    correctness is identical either way.
+    """
     ep = _ru128((n + 1) // 2)
     op = _ru128(n // 2)
     return ep * ep + op * op < _ru128(n) ** 2

@@ -540,9 +540,12 @@ class TestFusedMultigridKernels:
         assert np.array_equal(np.asarray(se), np.asarray(sb))
 
     @pytest.mark.parametrize("hw,beta", CASES)
-    def test_padded_io_equals_cropped(self, hw, beta):
+    @pytest.mark.parametrize("th", [None, 32])
+    def test_padded_io_equals_cropped(self, hw, beta, th):
         """padded_io launches == plain blocked launches + explicit pad/crop
-        (bitwise: identical kernels, the pads just move to the caller)."""
+        (bitwise: identical kernels, the pads just move to the caller).
+        th=32 makes the larger CASES multi-strip, exercising the cross-strip
+        ghost blocks in rounded space."""
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
             mg_down_pallas,
             mg_geometry,
@@ -555,7 +558,7 @@ class TestFusedMultigridKernels:
         g = _rand((3, h, w), seed=13)
         u0 = _rand((3, h, w), seed=14, scale=10.0)
         e = _rand((3, hc, w), seed=15, scale=5.0)
-        _, hp, wp = mg_geometry(h, w)
+        _, hp, wp = mg_geometry(h, w, th)
 
         def padto(x, rows):
             return np.pad(np.asarray(x), ((0, 0), (0, rows - x.shape[1]),
@@ -563,9 +566,10 @@ class TestFusedMultigridKernels:
 
         up = jnp.asarray(padto(u0, hp))
         gp = jnp.asarray(padto(g, hp))
-        u_want, rh_want = mg_down_pallas(u0, g, 1, bh=bh, bw=bw,
+        u_want, rh_want = mg_down_pallas(u0, g, 1, bh=bh, bw=bw, th=th,
                                          interpret=True, blocked=True)
-        u_got, rh_got = mg_down_pallas(up, gp, 1, bh=bh, bw=bw, interpret=True,
+        u_got, rh_got = mg_down_pallas(up, gp, 1, bh=bh, bw=bw, th=th,
+                                       interpret=True,
                                        blocked=True, padded_io=True,
                                        true_hw=(h, w))
         assert np.array_equal(np.asarray(u_got)[:, :h, :w], np.asarray(u_want))
@@ -576,9 +580,10 @@ class TestFusedMultigridKernels:
         assert np.abs(np.asarray(u_got)[zm]).max() == 0.0
 
         ep = jnp.asarray(padto(e, hp // 2))
-        up_want = mg_up_pallas(u0, g, e, 2, bh=bh, bw=bw, interpret=True,
-                               blocked=True)
-        up_got = mg_up_pallas(up, gp, ep, 2, bh=bh, bw=bw, interpret=True,
+        up_want = mg_up_pallas(u0, g, e, 2, bh=bh, bw=bw, th=th,
+                               interpret=True, blocked=True)
+        up_got = mg_up_pallas(up, gp, ep, 2, bh=bh, bw=bw, th=th,
+                              interpret=True,
                               blocked=True, padded_io=True, true_hw=(h, w))
         assert np.array_equal(np.asarray(up_got)[:, :h, :w], np.asarray(up_want))
         assert np.abs(np.asarray(up_got)[zm]).max() == 0.0
