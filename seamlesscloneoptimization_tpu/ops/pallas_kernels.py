@@ -344,6 +344,16 @@ def _mg_down_kernel(u_ref, g_ref, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
         h_even=h_even, bh=bh, bw=bw)
 
 
+def _mg_down_kernel0(g_ref, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
+                     h_even, bh, bw):
+    """Element-window form of the known-zero-guess descent (see kernel_b0)."""
+    i = pl.program_id(1)
+    g = g_ref[0]
+    uo_ref[0], rh_ref[0] = _mg_down_body(
+        jnp.zeros_like(g), g, i, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
+        h_even=h_even, bh=bh, bw=bw)
+
+
 def _mg_down_kernel_b(uc, ut, ub, gc, gt, gb, uo_ref, rh_ref, *, nu1, th, h,
                       w, wp, hc, h_even, bh, bw):
     i = pl.program_id(1)
@@ -354,13 +364,27 @@ def _mg_down_kernel_b(uc, ut, ub, gc, gt, gb, uo_ref, rh_ref, *, nu1, th, h,
         bh=bh, bw=bw)
 
 
+def _mg_down_kernel_b0(gc, gt, gb, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
+                       h_even, bh, bw):
+    """mg_down from a KNOWN-ZERO initial guess: u is synthesized in VMEM
+    instead of DMA'd — every coarse level of a V-cycle starts from zero, so
+    this drops a third of the descent's input HBM traffic there."""
+    i = pl.program_id(1)
+    g = _asm_window(i, th, h, wp, gc, gt, gb)
+    u = jnp.zeros_like(g)
+    uo_ref[0], rh_ref[0] = _mg_down_body(
+        u, g, i, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc, h_even=h_even,
+        bh=bh, bw=bw)
+
+
 @partial(jax.jit, static_argnames=("nu1", "bh", "bw", "interpret", "th", "blocked",
-                                   "padded_io", "true_hw"))
-def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
+                                   "padded_io", "true_hw", "u_zero"))
+def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
                    bh: float = 1.0, bw: float = 1.0, interpret: bool = False,
                    th: int | None = None, blocked: bool | None = None,
                    padded_io: bool = False,
-                   true_hw: tuple[int, int] | None = None):
+                   true_hw: tuple[int, int] | None = None,
+                   u_zero: bool = False):
     """Fused V-cycle descent: nu1 sweeps + residual + row-restrict, one pass.
 
     (C, H, W) f32 -> (swept u (C, H, W), row-restricted residual
@@ -376,6 +400,11 @@ def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
     2 crop full-array passes per launch; the padded-space V-cycle
     (solvers/multigrid.py) keeps whole level hierarchies rounded so they
     never materialize at all.
+
+    ``u_zero=True``: the initial guess is KNOWN zero (every coarse level of
+    a V-cycle) — ``u`` may be None; the kernel synthesizes the zero window
+    in VMEM instead of DMA'ing a zeros array, dropping a third of the
+    descent's input HBM traffic.
     """
     assert 0 <= nu1 <= 2, nu1
     if blocked is None:
@@ -383,33 +412,42 @@ def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
     if padded_io:
         assert true_hw is not None
         h, w = true_hw
-        c = u.shape[0]
+        c = g.shape[0]
         th, hp, wp = mg_geometry(h, w, th)
-        assert u.shape == (c, hp, wp) and g.shape == (c, hp, wp), (
-            u.shape, g.shape, (c, hp, wp))
+        assert g.shape == (c, hp, wp), (g.shape, (c, hp, wp))
+        assert u_zero or u.shape == (c, hp, wp), (u.shape, (c, hp, wp))
         hc = (h - 1) // 2
         ctr, top, bot = _ghost_specs(th, hp, wp)
-        u_out, rh = pl.pallas_call(
-            partial(_mg_down_kernel_b, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
-                    h_even=(h % 2 == 0), bh=bh, bw=bw),
+        out_specs = [
+            pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
+            pl.BlockSpec((1, th // 2, wp), lambda ci, i: (ci, i, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((c, hp // 2, wp), jnp.float32),
+        ]
+        kw = dict(nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
+                  h_even=(h % 2 == 0), bh=bh, bw=bw)
+        if u_zero:
+            return pl.pallas_call(
+                partial(_mg_down_kernel_b0, **kw),
+                grid=(c, hp // th),
+                in_specs=[ctr, top, bot],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(g, g, g)
+        return pl.pallas_call(
+            partial(_mg_down_kernel_b, **kw),
             grid=(c, hp // th),
             in_specs=[ctr, top, bot] * 2,
-            out_specs=[
-                pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
-                pl.BlockSpec((1, th // 2, wp), lambda ci, i: (ci, i, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
-                jax.ShapeDtypeStruct((c, hp // 2, wp), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(u, u, u, g, g, g)
-        return u_out, rh
-    c, h, w = u.shape
+    c, h, w = g.shape
     th, hp, wp = mg_geometry(h, w, th)
     hc = (h - 1) // 2
-    kern = partial(_mg_down_kernel, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
-                   h_even=(h % 2 == 0), bh=bh, bw=bw)
     out_specs = [
         pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
         pl.BlockSpec((1, th // 2, wp), lambda ci, i: (ci, i, 0)),
@@ -418,13 +456,24 @@ def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
         jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
         jax.ShapeDtypeStruct((c, hp // 2, wp), jnp.float32),
     ]
+    kw = dict(nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
+              h_even=(h % 2 == 0), bh=bh, bw=bw)
     if blocked:
-        up = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)))
         gp = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - w)))
         ctr, top, bot = _ghost_specs(th, hp, wp)
+        if u_zero:
+            u_out, rh = pl.pallas_call(
+                partial(_mg_down_kernel_b0, **kw),
+                grid=(c, hp // th),
+                in_specs=[ctr, top, bot],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(gp, gp, gp)
+            return u_out[:, :h, :w], rh[:, :hc, :w]
+        up = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)))
         u_out, rh = pl.pallas_call(
-            partial(_mg_down_kernel_b, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
-                    h_even=(h % 2 == 0), bh=bh, bw=bw),
+            partial(_mg_down_kernel_b, **kw),
             grid=(c, hp // th),
             in_specs=[ctr, top, bot] * 2,
             out_specs=out_specs,
@@ -433,10 +482,20 @@ def mg_down_pallas(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 1,
         )(up, up, up, gp, gp, gp)
         return u_out[:, :h, :w], rh[:, :hc, :w]
     pad = ((0, 0), (_M, hp - h + _M), (0, wp - w))
-    up = jnp.pad(u, pad)
     gp = jnp.pad(g, pad)
+    if u_zero:
+        u_out, rh = pl.pallas_call(
+            partial(_mg_down_kernel0, **kw),
+            grid=(c, hp // th),
+            in_specs=[_halo_spec(th, wp)],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(gp)
+        return u_out[:, :h, :w], rh[:, :hc, :w]
+    up = jnp.pad(u, pad)
     u_out, rh = pl.pallas_call(
-        kern,
+        partial(_mg_down_kernel, **kw),
         grid=(c, hp // th),
         in_specs=[_halo_spec(th, wp), _halo_spec(th, wp)],
         out_specs=out_specs,

@@ -268,7 +268,7 @@ def _fused_level(h: int, w: int, nu1: int, nu2: int, use_pallas, interpret: bool
 
 def vcycle(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 63,
            use_pallas: bool = False, interpret: bool = False,
-           bh: float = 1.0, bw: float = 1.0) -> jnp.ndarray:
+           bh: float = 1.0, bw: float = 1.0, u_zero: bool = False) -> jnp.ndarray:
     """One V-cycle; recursion unrolls at trace time over static level shapes.
 
     With ``use_pallas`` each large level runs as TWO fused Pallas launches
@@ -290,10 +290,13 @@ def vcycle(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest:
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
             mg_down_pallas, mg_up_pallas)
 
-        u, rh = mg_down_pallas(u, g, nu1, bh=bh, bw=bw, interpret=interpret)
+        # u_zero: coarse levels always start from zero — the kernel then
+        # synthesizes the zero guess in VMEM instead of DMA'ing it
+        u, rh = mg_down_pallas(None if u_zero else u, g, nu1, bh=bh, bw=bw,
+                               interpret=interpret, u_zero=u_zero)
         rc = 4.0 * _restrict_axis(rh, bw)
         ec = vcycle(jnp.zeros_like(rc), rc, nu1, nu2, coarsest, use_pallas,
-                    interpret, bh_c, bw_c)
+                    interpret, bh_c, bw_c, u_zero=True)
         return mg_up_pallas(u, g, _prolong_axis(ec, w, bw), nu2, bh=bh, bw=bw,
                             interpret=interpret)
     if bh == 1.0 and bw == 1.0:
@@ -318,7 +321,7 @@ def _pad_to(x: jnp.ndarray, shape) -> jnp.ndarray:
 def vcycle_p(u_p: jnp.ndarray, g_p: jnp.ndarray, h: int, w: int,
              nu1: int = 1, nu2: int = 2, coarsest: int = 63,
              use_pallas: bool = True, interpret: bool = False,
-             bh: float = 1.0, bw: float = 1.0) -> jnp.ndarray:
+             bh: float = 1.0, bw: float = 1.0, u_zero: bool = False) -> jnp.ndarray:
     """One V-cycle in ROUNDED space (blocked-ghost Pallas levels).
 
     u_p/g_p: (C, hp, wp) per ops.pallas_kernels.mg_geometry(h, w), exact
@@ -338,16 +341,18 @@ def vcycle_p(u_p: jnp.ndarray, g_p: jnp.ndarray, h: int, w: int,
     small = min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1
     if small or not _fused_level(h, w, nu1, nu2, use_pallas, interpret):
         u = vcycle(u_p[:, :h, :w], g_p[:, :h, :w], nu1, nu2, coarsest,
-                   use_pallas, interpret, bh, bw)
+                   use_pallas, interpret, bh, bw, u_zero=u_zero)
         return _pad_to(u, u_p.shape)
     hc, bh_c = _coarsen(h, bh)
     wc, bw_c = _coarsen(w, bw)
-    u_s, rh = mg_down_pallas(u_p, g_p, nu1, bh=bh, bw=bw, interpret=interpret,
-                             blocked=True, padded_io=True, true_hw=(h, w))
+    u_s, rh = mg_down_pallas(None if u_zero else u_p, g_p, nu1, bh=bh, bw=bw,
+                             interpret=interpret, blocked=True, padded_io=True,
+                             true_hw=(h, w), u_zero=u_zero)
     rc = 4.0 * _restrict_axis(rh[:, :hc, :w], bw)          # (C, hc, wc)
     _, hpc, wpc = mg_geometry(hc, wc)
     ec_p = vcycle_p(jnp.zeros((c, hpc, wpc), u_p.dtype), _pad_to(rc, (c, hpc, wpc)),
-                    hc, wc, nu1, nu2, coarsest, use_pallas, interpret, bh_c, bw_c)
+                    hc, wc, nu1, nu2, coarsest, use_pallas, interpret, bh_c, bw_c,
+                    u_zero=True)
     e_lane = _prolong_axis(ec_p[:, :hc, :wc], w, bw)       # (C, hc, w)
     e_lane_p = _pad_to(e_lane, (c, u_p.shape[1] // 2, u_p.shape[2]))
     return mg_up_pallas(u_s, g_p, e_lane_p, nu2, bh=bh, bw=bw,

@@ -588,6 +588,38 @@ class TestFusedMultigridKernels:
         assert np.array_equal(np.asarray(up_got)[:, :h, :w], np.asarray(up_want))
         assert np.abs(np.asarray(up_got)[zm]).max() == 0.0
 
+    @pytest.mark.parametrize("hw,beta", CASES)
+    def test_u_zero_equals_explicit_zeros(self, hw, beta):
+        """u_zero=True (zero guess synthesized in VMEM) == passing a zeros
+        array, in element, blocked, and padded_io forms."""
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            mg_down_pallas,
+            mg_geometry,
+        )
+
+        h, w = hw
+        bh, bw = beta
+        g = _rand((3, h, w), seed=17)
+        z = jnp.zeros_like(g)
+        for blocked in (False, True):
+            uw, rw = mg_down_pallas(z, g, 1, bh=bh, bw=bw, interpret=True,
+                                    blocked=blocked)
+            uz, rz = mg_down_pallas(None, g, 1, bh=bh, bw=bw, interpret=True,
+                                    blocked=blocked, u_zero=True)
+            assert np.array_equal(np.asarray(uw), np.asarray(uz))
+            assert np.array_equal(np.asarray(rw), np.asarray(rz))
+        _, hp, wp = mg_geometry(h, w)
+        gp = jnp.asarray(np.pad(np.asarray(g),
+                                ((0, 0), (0, hp - h), (0, wp - w))))
+        uw, rw = mg_down_pallas(jnp.zeros_like(gp), gp, 1, bh=bh, bw=bw,
+                                interpret=True, blocked=True, padded_io=True,
+                                true_hw=(h, w))
+        uz, rz = mg_down_pallas(None, gp, 1, bh=bh, bw=bw, interpret=True,
+                                blocked=True, padded_io=True, true_hw=(h, w),
+                                u_zero=True)
+        assert np.array_equal(np.asarray(uw), np.asarray(uz))
+        assert np.array_equal(np.asarray(rw), np.asarray(rz))
+
     def test_padded_space_solve_matches_plain(self):
         """solve_multigrid(padded=True) == padded=False bitwise (interpret
         fused levels; the size clears the 1<<18 fused-level gate)."""
