@@ -72,7 +72,8 @@ class CloneConfig:
         if self.solver == "dst_gemm":
             return {"precision": self.precision, "folded": self.dst_folded}
         if self.solver == "auto":
-            return {"precision": self.precision, "tol": self.tol}
+            return {"precision": self.precision, "tol": self.tol,
+                    "folded": self.dst_folded, "padded": self.mg_padded}
         return {}
 
     def cache_key_extras(self) -> tuple:

@@ -40,14 +40,19 @@ def auto_solver_name(shape, crossover: int = AUTO_CROSSOVER_PIXELS) -> str:
 
 
 def solve_auto(g, precision: str = "highest", tol: float = 1e-4,
-               crossover: int = AUTO_CROSSOVER_PIXELS, **_ignored):
-    """Size-based solver selection (static under jit: shapes are trace-time)."""
+               crossover: int = AUTO_CROSSOVER_PIXELS,
+               folded: bool = False, padded: bool = False, **_ignored):
+    """Size-based solver selection (static under jit: shapes are trace-time).
+
+    ``folded``/``padded`` forward to the selected solver's even/odd-folded
+    GEMMs / rounded-space V-cycles respectively (see those solvers).
+    """
     import jax
 
     if auto_solver_name(g.shape, crossover) == "multigrid":
-        return solve_multigrid(g, tol=tol,
+        return solve_multigrid(g, tol=tol, padded=padded,
                                use_pallas=jax.default_backend() == "tpu")
-    return solve_dst_gemm(g, precision=precision)
+    return solve_dst_gemm(g, precision=precision, folded=folded)
 
 
 SOLVERS = {
