@@ -114,8 +114,11 @@ def main():
 
     import os
 
-    folded = os.environ.get("SCL_DST_FOLDED", "0") == "1"  # A/B knob
-    mg_padded = os.environ.get("SCL_MG_PADDED", "0") == "1"  # A/B knob
+    # Defaults flipped on from the 2026-08-18 hardware A/Bs (docs/PERF.md):
+    # folded DST 4.07 -> 3.37 ms/frame at the headline with diff_max still 1;
+    # rounded-space multigrid 11.0 -> 8.8 ms (headline) / 48.8 -> 29.1 ms (8K).
+    folded = os.environ.get("SCL_DST_FOLDED", "1") == "1"  # A/B knob
+    mg_padded = os.environ.get("SCL_MG_PADDED", "1") == "1"  # A/B knob
     eng = SeamlessClone(CloneConfig(solver=solver, tol=2e-4, donate_dst=True, precision="high",
                                     use_pallas_preprocess=True, use_pallas_postprocess=True,
                                     use_pallas_smoother=True, dst_folded=folded,

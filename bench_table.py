@@ -51,7 +51,7 @@ def main():
         mask = np.full((ph, pw), 255, np.uint8)
         center = (dw // 2, dh // 2)
         row = {"patch": f"{pw}x{ph}", "dst": f"{dw}x{dh}", "v100_fft_ms": v100_ms}
-        folded = os.environ.get("SCL_DST_FOLDED", "0") == "1"
+        folded = os.environ.get("SCL_DST_FOLDED", "1") == "1"
         for label, prec in (("exact_f32", "highest"), ("fast_bf16x3", "high")):
             eng = SeamlessClone(
                 CloneConfig(solver="dst_gemm", precision=prec, donate_dst=True,

@@ -105,10 +105,27 @@ def mg_geometry(h: int, w: int, th: int | None = None) -> tuple[int, int, int]:
     The padded-space V-cycle (solvers/multigrid.py:vcycle_p) must allocate
     its level arrays with EXACTLY the padding the kernels' blocked specs
     expect; this is the single source of that geometry.
+
+    Default th is width-keyed from the 2026-08-18 v5e FULL-solver sweeps
+    (tools/time_solver.py multigrid_fixed4_padded, SCL_MG_TH sweep — the
+    isolated mg_down optimum does NOT transfer to the full V-cycle):
+    wp=2432 optimum 48 (9.30 ms vs 11.49 at th=16, 11.51 at th=64);
+    wp=3840 optimum 64 (29.22 ms vs 31.90 at th=32; th=80 exceeds the
+    16 MB scoped-VMEM limit by 1.88 MB — the clamp below reproduces that
+    boundary). SCL_MG_TH overrides for sweeps (trace-time read, like
+    SCL_PALLAS_GHOST).
     """
+    import os
+
     wp = _round_up(w, 128)
     if th is None:
-        th = max(16, _strip_height(wp, n_windows=3) // 16 * 16)
+        th_env = os.environ.get("SCL_MG_TH")
+        if th_env:
+            th = max(16, int(th_env) // 16 * 16)
+        else:
+            th = 48 if wp <= 2560 else 64
+            th = min(th, max(16, _strip_height(wp, n_windows=3,
+                                               budget_bytes=16 << 20) // 16 * 16))
     return th, _round_up(h, th), wp
 
 

@@ -24,13 +24,17 @@ from seamlesscloneoptimization_tpu.solvers.dst_fft import solve_dst_fft
 from seamlesscloneoptimization_tpu.solvers.jacobi import solve_redblack, redblack_sweep
 from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 
-# Direct DST-GEMM is O(N^1.5) FLOPs on the MXU; multigrid is O(N). Pinned
-# from measured v5e solver-only times (docs/PERF.md, tools/time_solver.py,
-# 2026-08-18): at 3x2798x3798 (10.6 MP) dst_gemm(bf16_3x) 22.1 ms vs
-# multigrid tol-2e-4 48.8 ms; extrapolating the O(N^1.5)-vs-O(N) constants
-# puts the crossover near ~50 MP interiors, where the GEMM eigenbasis
-# matrices alone reach hundreds of MB of HBM.
-AUTO_CROSSOVER_PIXELS = 50_000_000
+# Direct DST-GEMM is O(N^1.5) FLOPs on the MXU; multigrid is O(N). Fresh
+# v5e constants (tools/time_solver.py, 2026-08-18, winning configs: folded
+# DST / rounded-space fixed-4-cycle multigrid): 3.7 MP -> 2.89 vs 8.8 ms;
+# 10.6 MP -> 12.6 vs 29.1 ms. The pure-time crossover extrapolates to
+# ~0.5 GP — but the direct solve stops being the right answer well before
+# that: its O(H^2+W^2) eigenbasis + O(N) GEMM workspace approach the HBM
+# budget (~12k-square basis pair alone is >1 GB) and its f32 conditioning
+# degrades with size (measured rel-residual 5e-3 at 3.7 MP -> 1.7e-2 at
+# 10.6 MP, vs multigrid's 1e-4 at every size). 150 MP keeps the direct
+# path where it is both faster AND well-conditioned, with headroom in HBM.
+AUTO_CROSSOVER_PIXELS = 150_000_000
 
 
 def auto_solver_name(shape, crossover: int = AUTO_CROSSOVER_PIXELS) -> str:
