@@ -314,10 +314,15 @@ def _level_ops(rows, cols, h, w, bh, bw):
     return nsum, 1.0 / diag, diag
 
 
-def _mg_down_body(u, g, i, *, nu1, th, h, w, wp, hc, h_even, bh, bw):
+def _mg_down_body(u, g, i, *, nu1, th, h, w, wp, hc, h_even, bh, bw,
+                  u_is_zero: bool = False):
     """nu1 sweeps + residual + row-restrict on a ghosted window.
 
     Returns (swept strip (th, wp), row-restricted residual strip (th//2, wp)).
+
+    ``u_is_zero``: the guess is identically zero, so the first red
+    half-sweep's neighbor sum vanishes — ``u_red = -g * inv_d`` exactly
+    (bit-identical to the dense form, one full stencil pass cheaper).
     """
     m = _M
     rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wp), 0)
@@ -328,8 +333,11 @@ def _mg_down_body(u, g, i, *, nu1, th, h, w, wp, hc, h_even, bh, bw):
     black = (~par) & in_dom
 
     nsum, inv_d, diag = _level_ops(rows, cols, h, w, bh, bw)
-    for _ in range(nu1):
-        u = jnp.where(red, (nsum(u) - g) * inv_d, u)
+    for sweep in range(nu1):
+        if sweep == 0 and u_is_zero and nu1 > 0:
+            u = jnp.where(red, (0.0 - g) * inv_d, u)
+        else:
+            u = jnp.where(red, (nsum(u) - g) * inv_d, u)
         u = jnp.where(black, (nsum(u) - g) * inv_d, u)
     strip = u[m : m + th, :]
 
@@ -368,7 +376,7 @@ def _mg_down_kernel0(g_ref, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
     g = g_ref[0]
     uo_ref[0], rh_ref[0] = _mg_down_body(
         jnp.zeros_like(g), g, i, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
-        h_even=h_even, bh=bh, bw=bw)
+        h_even=h_even, bh=bh, bw=bw, u_is_zero=True)
 
 
 def _mg_down_kernel_b(uc, ut, ub, gc, gt, gb, uo_ref, rh_ref, *, nu1, th, h,
@@ -391,7 +399,7 @@ def _mg_down_kernel_b0(gc, gt, gb, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
     u = jnp.zeros_like(g)
     uo_ref[0], rh_ref[0] = _mg_down_body(
         u, g, i, nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc, h_even=h_even,
-        bh=bh, bw=bw)
+        bh=bh, bw=bw, u_is_zero=True)
 
 
 @partial(jax.jit, static_argnames=("nu1", "bh", "bw", "interpret", "th", "blocked",

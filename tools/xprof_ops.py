@@ -70,8 +70,12 @@ def profile_serve(h: int, w: int, loops: int):
     dst = cv2.resize(s, (2 * w, (2 * h * 2694) // 3104), interpolation=cv2.INTER_CUBIC)
     mask = np.full(src.shape[:2], 255, np.uint8)
     center = (dst.shape[1] // 2, dst.shape[0] // 2)
+    import os
+
+    folded = os.environ.get("SCL_DST_FOLDED", "1") == "1"  # mirror bench.py
     eng = SeamlessClone(CloneConfig(solver="dst_gemm", donate_dst=True, precision="high",
-                                    use_pallas_preprocess=True, use_pallas_postprocess=True))
+                                    use_pallas_preprocess=True, use_pallas_postprocess=True,
+                                    dst_folded=folded))
     # warm-up outside trace
     _, ms0 = eng.timed_serve(src, dst, mask, center, loops=4)
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
