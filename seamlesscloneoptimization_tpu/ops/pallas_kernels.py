@@ -1128,48 +1128,56 @@ def clamp_cast_pallas(u: jnp.ndarray, out_hw: tuple[int, int] | None = None,
     return out[:, :oh, :ow]
 
 
+_PASTE_CW = 512  # paste/guarded-clamp column block: 4x fewer grid steps than
+# 128 (741 -> ~230 at 2400x1552 — both kernels were per-grid-step-overhead
+# bound, 0.34/0.21 ms vs ~0.05 ms of DMA; see docs/PERF.md op profile)
+
+
 def clamp_cast_guarded_pallas(u: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Like clamp_cast_pallas but emits into a GUARDED slab for the paste.
 
-    Output (C, 128 + HP + 128, 128 + WP + 128) u8 with the cast data written
-    at block offset (+1, +1); the one-block guard ring is left UNWRITTEN
-    (uninitialized — paste_interior_pallas's overlapping read windows may
-    touch it but every such value is masked out by its in-range select).
-    The guard ring costs no DMA; it only exists so the paste kernel's
-    2x-overlapping windows never index out of bounds.
+    Output (C, 128 + HP + 128, CW + WP5 + CW) u8 (CW = _PASTE_CW,
+    WP5 = WP rounded up to CW) with the cast data written at block offset
+    (+1, +1); the guard ring is left UNWRITTEN (uninitialized —
+    paste_interior_pallas's overlapping read windows may touch it but every
+    such value is masked out by its in-range select, as is the
+    [WP, WP5) ragged-block garbage). The guard ring costs no DMA; it only
+    exists so the paste kernel's 2x-overlapping windows never index out of
+    bounds.
     """
     c, hp, wp = u.shape
-    th = 128
+    th, cw = 128, _PASTE_CW
+    wp5 = _round_up(wp, cw)
     assert hp % th == 0 and wp % 128 == 0, (hp, wp)
     out = pl.pallas_call(
         _clamp_cast_kernel,
-        grid=(c, hp // th, wp // 128),
-        in_specs=[pl.BlockSpec((1, th, 128), lambda ci, i, j: (ci, i, j))],
-        out_specs=pl.BlockSpec((1, th, 128), lambda ci, i, j: (ci, i + 1, j + 1)),
-        out_shape=jax.ShapeDtypeStruct((c, hp + 2 * th, wp + 256), jnp.uint8),
+        grid=(c, hp // th, wp5 // cw),
+        in_specs=[pl.BlockSpec((1, th, cw), lambda ci, i, j: (ci, i, j))],
+        out_specs=pl.BlockSpec((1, th, cw), lambda ci, i, j: (ci, i + 1, j + 1)),
+        out_shape=jax.ShapeDtypeStruct((c, hp + 2 * th, wp5 + 2 * cw), jnp.uint8),
         interpret=interpret,
     )(u)
     return out
 
 
-def _paste_kernel(s_ref, int_ref, dstin_ref, out_ref, *, th, h2, w2, hd, wd):
+def _paste_kernel(s_ref, int_ref, dstin_ref, out_ref, *, th, cw, h2, w2, hd, wd):
     i = pl.program_id(1)
     j = pl.program_id(2)
     top1 = s_ref[0]
     left1 = s_ref[1]
     br = jnp.minimum(top1 // th + i, (hd + th - 1) // th - 1)
-    bc = jnp.minimum(left1 // 128 + j, (wd + 127) // 128 - 1)
+    bc = jnp.minimum(left1 // cw + j, (wd + cw - 1) // cw - 1)
     r0 = br * th
-    c0 = bc * 128
+    c0 = bc * cw
     dy = top1 % th
-    dx = left1 % 128
+    dx = left1 % cw
     # Mosaic's dynamic rotate is 32-bit only: hop the u8 window through i32
-    w_ = int_ref[0].astype(jnp.int32)                 # (2*th, 256)
+    w_ = int_ref[0].astype(jnp.int32)                 # (2*th, 2*cw)
     # out row k <- window row k+th-dy: roll by (dy-th) mod 2th = dy+th (>=0)
     rows_sft = pltpu.roll(w_, dy + th, axis=0)[:th]
-    blk = pltpu.roll(rows_sft, dx + 128, axis=1)[:, :128].astype(jnp.uint8)
-    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (th, 128), 0)
-    cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (th, 128), 1)
+    blk = pltpu.roll(rows_sft, dx + cw, axis=1)[:, :cw].astype(jnp.uint8)
+    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (th, cw), 0)
+    cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (th, cw), 1)
     in_r = ((rows >= top1) & (rows < top1 + h2)
             & (cols >= left1) & (cols < left1 + w2))
     out_ref[0] = jnp.where(in_r, blk, dstin_ref[0])
@@ -1190,12 +1198,13 @@ def paste_interior_pallas(
     this target (measured: 0.40-0.47 ms for an 11 MB u8 paste even when
     tile-aligned and donated) — it re-materializes far more than the
     touched tiles. This kernel updates ONLY the covering tiles: for each
-    128x128 destination block it reads the (2x128, 2x128) guarded-interior
-    window that can contain its data, shifts it into place with dynamic
-    lane/sublane rotates (the paste offset is a traced scalar, prefetched
-    into SMEM), selects in-range pixels and writes the block back through
-    an input/output alias. Ref: the scatter half of ``post_processing``
-    (seamlessClone_imp.cpp:2095, writing the ROI into ucRGB_Output).
+    128 x _PASTE_CW destination block it reads the (2x128, 2x_PASTE_CW)
+    guarded-interior window that can contain its data, shifts it into place
+    with dynamic lane/sublane rotates (the paste offset is a traced scalar,
+    prefetched into SMEM), selects in-range pixels and writes the block
+    back through an input/output alias. Ref: the scatter half of
+    ``post_processing`` (seamlessClone_imp.cpp:2095, writing the ROI into
+    ucRGB_Output).
 
     dst_p: (C, Hd, Wd) u8 planar destination (donated/aliased).
     interior_g: guarded slab from clamp_cast_guarded_pallas, data =
@@ -1203,36 +1212,36 @@ def paste_interior_pallas(
     top1/left1: traced int32 paste offsets (top+1, left+1).
     """
     c, hd, wd = dst_p.shape
-    th = 128
+    th, cw = 128, _PASTE_CW
     hp = interior_g.shape[1] - 2 * th
-    wp = interior_g.shape[2] - 256
+    wp5 = interior_g.shape[2] - 2 * cw
     nbr = hp // th + 1
-    nbc = wp // 128 + 1
+    nbc = wp5 // cw + 1
     s = jnp.stack([jnp.asarray(top1, jnp.int32), jnp.asarray(left1, jnp.int32)])
 
     def dst_map(ci, i, j, s_ref):
         br = jnp.minimum(s_ref[0] // th + i, (hd + th - 1) // th - 1)
-        bc = jnp.minimum(s_ref[1] // 128 + j, (wd + 127) // 128 - 1)
+        bc = jnp.minimum(s_ref[1] // cw + j, (wd + cw - 1) // cw - 1)
         return (ci, br, bc)
 
     def win_map(ci, i, j, s_ref):
         br = jnp.minimum(s_ref[0] // th + i, (hd + th - 1) // th - 1)
-        bc = jnp.minimum(s_ref[1] // 128 + j, (wd + 127) // 128 - 1)
+        bc = jnp.minimum(s_ref[1] // cw + j, (wd + cw - 1) // cw - 1)
         rel_r = br - s_ref[0] // th
-        rel_c = bc - s_ref[1] // 128
-        return (ci, pl.multiple_of(rel_r * th, 8), pl.multiple_of(rel_c * 128, 128))
+        rel_c = bc - s_ref[1] // cw
+        return (ci, pl.multiple_of(rel_r * th, 8), pl.multiple_of(rel_c * cw, 128))
 
     return pl.pallas_call(
-        partial(_paste_kernel, th=th, h2=h2, w2=w2, hd=hd, wd=wd),
+        partial(_paste_kernel, th=th, cw=cw, h2=h2, w2=w2, hd=hd, wd=wd),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(c, nbr, nbc),
             in_specs=[
-                pl.BlockSpec((pl.Element(1), pl.Element(2 * th), pl.Element(256)),
+                pl.BlockSpec((pl.Element(1), pl.Element(2 * th), pl.Element(2 * cw)),
                              win_map),
-                pl.BlockSpec((1, th, 128), dst_map),
+                pl.BlockSpec((1, th, cw), dst_map),
             ],
-            out_specs=pl.BlockSpec((1, th, 128), dst_map),
+            out_specs=pl.BlockSpec((1, th, cw), dst_map),
         ),
         out_shape=jax.ShapeDtypeStruct((c, hd, wd), jnp.uint8),
         input_output_aliases={2: 0},

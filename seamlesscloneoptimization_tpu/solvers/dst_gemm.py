@@ -146,6 +146,28 @@ def dst_eigenvalues_grouped(n: int):
     return out
 
 
+# NOTE on the fold's lane-direction reversals (measured 2026-08-18, v5e):
+# jnp.flip(-1) FUSES into the fold's producer/consumer fusion and is the
+# fastest available form. Two alternatives were built and measured slower
+# end-to-end despite winning isolated microbenches: a dense (n, n) one-hot
+# permutation GEMM (exact; serve 3.47 -> 5.36 ms/frame — f32 MXU is ~1/8
+# rate) and a grouped decomposition (pad + reshape to (m, 128) tiles +
+# cheap tile-order flip + one-hot (128, 128) einsum: isolated 0.284 ms vs
+# flip's 0.519 at (3, 1792, 1199), but serve 3.47 -> 4.27 ms/frame because
+# none of its stages fuse). Keep the flips; recovering the remaining fold
+# overhead needs the reversal INSIDE a fused Pallas fold+GEMM kernel
+# (Mosaic has no rev primitive — block-order reversal via index maps plus
+# a per-tile one-hot dot would be the route).
+
+
+def _rev_minor(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.flip(a, -1)
+
+
+def _rev_rows(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.flip(a, -2)
+
+
 def dst_fwd_folded_minor(a: jnp.ndarray, n: int, mm) -> jnp.ndarray:
     """Folded DST along the minor axis: (..., KP >= n, zero-padded beyond n)
     -> (..., ep + op) spectral in GROUPED even/odd order (zero-padded)."""
@@ -153,7 +175,7 @@ def dst_fwd_folded_minor(a: jnp.ndarray, n: int, mm) -> jnp.ndarray:
     ep, op = _ru128(he), _ru128(ho)
     vep, vop, _, _ = dst_matrices_folded(n)
     head = a[..., :ho]
-    tail = jnp.flip(a[..., n - ho : n], -1)  # a_{n-1-j}, j = 0..ho-1
+    tail = _rev_minor(a[..., n - ho : n])  # a_{n-1-j}, j = 0..ho-1
     s = head + tail
     d = head - tail
     if n % 2:
@@ -173,7 +195,7 @@ def dst_inv_folded_minor(a: jnp.ndarray, n: int, out_pad: int, mm) -> jnp.ndarra
     e = mm(a[..., :ep], ve2p)        # E_x, x < he (zeros beyond)
     o = mm(a[..., ep : ep + op], vo2p)
     first = (e + o)[..., :he]                     # out_x,        x < he
-    second = jnp.flip((e - o)[..., :ho], -1)      # out_{n-1-x},  x = ho-1..0
+    second = _rev_minor((e - o)[..., :ho])        # out_{n-1-x},  x = ho-1..0
     zpad = [(0, 0)] * (a.ndim - 1)
     return jnp.pad(jnp.concatenate([first, second], axis=-1),
                    zpad + [(0, out_pad - n)])
@@ -186,7 +208,7 @@ def dst_fwd_folded_rows(a: jnp.ndarray, n: int, mm_left) -> jnp.ndarray:
     ep, op = _ru128(he), _ru128(ho)
     vep, vop, _, _ = dst_matrices_folded(n)
     head = a[..., :ho, :]
-    tail = jnp.flip(a[..., n - ho : n, :], -2)
+    tail = _rev_rows(a[..., n - ho : n, :])
     s = head + tail
     d = head - tail
     if n % 2:
@@ -207,7 +229,7 @@ def dst_inv_folded_rows(a: jnp.ndarray, n: int, mm_left) -> jnp.ndarray:
     e = mm_left(ve2p.T, a[..., :ep, :])           # E_x = sum_r Ve2[r, x] ue_r
     o = mm_left(vo2p.T, a[..., ep : ep + op, :])
     first = (e + o)[..., :he, :]
-    second = jnp.flip((e - o)[..., :ho, :], -2)
+    second = _rev_rows((e - o)[..., :ho, :])
     return jnp.concatenate([first, second], axis=-2)
 
 

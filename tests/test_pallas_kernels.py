@@ -651,3 +651,44 @@ class TestFusedMultigridKernels:
             u_x = redblack_sweep(u_x, g)
         np.testing.assert_allclose(np.asarray(sb), np.asarray(u_x),
                                    atol=1e-3, rtol=1e-5)
+
+
+class TestMgGeometry:
+    """Pins the strip-height contract the padded-space V-cycle allocates
+    against (ops/pallas_kernels.py:mg_geometry): width-keyed defaults from
+    the 2026-08-18 full-solver hardware sweeps, the scoped-VMEM clamp at the
+    measured th=80/wp=3840 OOM boundary, and the SCL_MG_TH override."""
+
+    def test_width_keyed_defaults(self):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_geometry
+
+        th, hp, wp = mg_geometry(1550, 2398)  # headline: wp=2432 -> th=48
+        assert (th, wp) == (48, 2432) and hp % th == 0
+        th, hp, wp = mg_geometry(2798, 3798)  # 8K: wp=3840 -> th=64
+        assert (th, wp) == (64, 3840) and hp % th == 0
+
+    def test_vmem_clamp_very_wide(self):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            _strip_height, mg_geometry)
+
+        th, hp, wp = mg_geometry(1000, 15500)
+        assert th < 64  # the 16 MB scoped-VMEM budget forces narrow strips
+        assert th == max(16, _strip_height(wp, n_windows=3,
+                                           budget_bytes=16 << 20) // 16 * 16)
+        assert th % 16 == 0 and hp % th == 0
+
+    def test_env_override(self, monkeypatch):
+        from seamlesscloneoptimization_tpu.ops import pallas_kernels as pk
+
+        monkeypatch.setenv("SCL_MG_TH", "80")
+        th, hp, wp = pk.mg_geometry(1550, 2398)
+        assert th == 80 and hp % 80 == 0
+        monkeypatch.setenv("SCL_MG_TH", "23")  # rounded down to 16-multiple
+        th, _, _ = pk.mg_geometry(1550, 2398)
+        assert th == 16
+
+    def test_explicit_th_wins(self):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_geometry
+
+        th, hp, wp = mg_geometry(129, 257, th=32)
+        assert th == 32 and hp == 160 and wp == 384
