@@ -103,9 +103,15 @@ def clone_roi(
             h2, w2 = dest_roi_u8.shape[1] - 2, dest_roi_u8.shape[2] - 2
             g_tp = preprocess_rhs_transposed_pallas(
                 dest_roi_u8, patch_in, mask_roi, kflags, mixed_rule)
+            import os
+
             u = solve_dst_gemm_pl(g_tp, h2=h2, w2=w2,
                                   precision=solver_kwargs.get("precision", "highest"),
-                                  folded=dst_folded)
+                                  folded=dst_folded,
+                                  # A/B knob for the Pallas fold/unfold strip
+                                  # kernels (measured default: on)
+                                  pallas_fold=os.environ.get(
+                                      "SCL_PALLAS_FOLD", "1") == "1")
             if guarded and return_inset:
                 return clamp_cast_guarded_pallas(u), "guarded"
             interior = clamp_cast_pallas(u, out_hw=(h2, w2))

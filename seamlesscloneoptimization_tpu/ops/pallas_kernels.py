@@ -35,6 +35,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (memory spaces)
 
@@ -1249,3 +1250,145 @@ def paste_interior_pallas(
     )(s, interior_g, dst_p)
 
 
+# ---------------------------------------------------------------------------
+# Even/odd DST fold and unfold (for the folded-GEMM solver chain)
+# ---------------------------------------------------------------------------
+#
+# The folded DST (solvers/dst_gemm.py: dst_matrices_folded) halves the MXU
+# FLOPs per transform but needs s = x + rev_n(x), d = x - rev_n(x) around
+# every GEMM pair. Expressed in XLA those fold/unfold passes cost
+# 0.28-0.56 ms each at 2400x1552 (docs/PERF.md op profile) — ~4x off the
+# HBM roofline — and were the largest remaining serve-frame item. Mosaic
+# has no `rev` primitive, so the lane reversal is built from supported
+# pieces: mirror the 128-lane blocks in block order (static slices),
+# reverse within each block by an anti-identity MXU dot (one-hot f32,
+# exact), then realign with pltpu.roll. Measured 0.18 ms/pass (527 GB/s)
+# at (3, 2432, 1664) vs 0.37-0.56 for the XLA fold fusions it replaces.
+
+
+_J128 = np.eye(128, dtype=np.float32)[::-1].copy()  # lane anti-identity
+
+
+def _rev_lanes(x: jnp.ndarray, n: int, j128: jnp.ndarray) -> jnp.ndarray:
+    """rev_n over the padded lane axis: out[:, j] = x[:, n-1-j] for j < n.
+
+    x: (th, NP) with NP a 128-multiple >= n. Lanes j >= n of the result hold
+    rolled-around values — callers must mask them or contract them against
+    zero matrix rows.
+    """
+    npad = x.shape[-1]
+    nb = npad // 128
+    parts = [
+        jax.lax.dot_general(
+            x[:, (nb - 1 - b) * 128:(nb - b) * 128], j128,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        for b in range(nb)
+    ]
+    rev_aligned = jnp.concatenate(parts, axis=-1)  # x[NP-1-j]
+    # realign: rev_n[j] = x[n-1-j] = rev_aligned[(j - n) mod NP]
+    return pltpu.roll(rev_aligned, n, 1) if n != npad else rev_aligned
+
+
+def _fold_kernel(x_ref, j_ref, s_ref, d_ref, *, n, ep, op):
+    x = x_ref[0]
+    rev = _rev_lanes(x, n, j_ref[...])
+    if n % 2:
+        # odd n: the self-paired middle element is counted ONCE in s (the
+        # folded Vep row for it carries the full weight); zeroing rev there
+        # also poisons d's lane (n-1)/2 = he-1 >= ho, which Vop's zero row
+        # kills.
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        rev = jnp.where(lane == (n - 1) // 2, 0.0, rev)
+    s_ref[0] = (x + rev)[:, :ep]
+    d_ref[0] = (x - rev)[:, :op]
+
+
+def fold_minor_pallas(x: jnp.ndarray, n: int, th: int = 128,
+                      interpret: bool = False):
+    """Forward even/odd DST fold along the padded minor axis, one strip pass.
+
+    x: (C, M, NP) f32, true data in lanes [0, n), EXACT ZEROS beyond; M and
+    NP 128-multiples. Returns ``(s, d)``: s (C, M, ep) = x + rev_n(x),
+    d (C, M, op) = x - rev_n(x) with ep/op = round_up(ceil(n/2) / floor(n/2),
+    128) — the operands of the folded forward GEMMs
+    (dst_fwd_folded_minor's s/d, solvers/dst_gemm.py). Lanes beyond
+    he = ceil(n/2) (resp. ho) carry fold garbage by contract: the folded V
+    matrices' zero rows annihilate them, so ONLY contract this output
+    against dst_matrices_folded factors.
+    """
+    c, m, npad = x.shape
+    assert npad % 128 == 0 and npad >= n, (npad, n)
+    he, ho = (n + 1) // 2, n // 2
+    ep, op = _round_up(he, 128), _round_up(ho, 128)
+    mp = _round_up(m, th)
+    xp = x if mp == m else jnp.pad(x, ((0, 0), (0, mp - m), (0, 0)))
+    s, d = pl.pallas_call(
+        partial(_fold_kernel, n=n, ep=ep, op=op),
+        grid=(c, mp // th),
+        in_specs=[
+            pl.BlockSpec((1, th, npad), lambda ci, i: (ci, i, 0)),
+            pl.BlockSpec((128, 128), lambda ci, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, ep), lambda ci, i: (ci, i, 0)),
+            pl.BlockSpec((1, th, op), lambda ci, i: (ci, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, mp, ep), jnp.float32),
+            jax.ShapeDtypeStruct((c, mp, op), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, jnp.asarray(_J128))
+    return (s[:, :m], d[:, :m]) if mp != m else (s, d)
+
+
+def _unfold_kernel(e_ref, o_ref, j_ref, out_ref, *, n, he):
+    out_lanes = out_ref.shape[-1]
+    e = e_ref[0]
+    o = o_ref[0]
+    pad = out_lanes - e.shape[-1]
+    if pad:
+        z = jnp.zeros((e.shape[0], pad), jnp.float32)
+        e = jnp.concatenate([e, z], axis=-1)
+        o = jnp.concatenate([o, z], axis=-1)
+    diff_rev = _rev_lanes(e - o, n, j_ref[...])
+    lane = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+    first = jnp.where(lane < he, e + o, 0.0)
+    second = jnp.where((lane >= he) & (lane < n), diff_rev, 0.0)
+    out_ref[0] = first + second
+
+
+def unfold_minor_pallas(e: jnp.ndarray, o: jnp.ndarray, n: int, out_pad: int,
+                        th: int = 128, interpret: bool = False) -> jnp.ndarray:
+    """Inverse even/odd DST combine along the minor axis, one strip pass.
+
+    e, o: (C, M, ep) f32 — the inverse folded GEMM outputs (E_x and O_x on
+    lanes [0, he), exact zeros beyond; both are ep wide since vo2p is
+    (op, ep)). Returns (C, M, out_pad): out[x] = E_x + O_x for x < he,
+    out[n-1-x] = E_x - O_x for x < ho, EXACT ZEROS elsewhere — the same
+    contract as dst_inv_folded_minor (solvers/dst_gemm.py).
+    """
+    c, m, ep = e.shape
+    assert o.shape == e.shape, (e.shape, o.shape)
+    assert out_pad % 128 == 0 and out_pad >= n and out_pad >= ep
+    he = (n + 1) // 2
+    mp = _round_up(m, th)
+    if mp != m:
+        e = jnp.pad(e, ((0, 0), (0, mp - m), (0, 0)))
+        o = jnp.pad(o, ((0, 0), (0, mp - m), (0, 0)))
+    out = pl.pallas_call(
+        partial(_unfold_kernel, n=n, he=he),
+        grid=(c, mp // th),
+        in_specs=[
+            pl.BlockSpec((1, th, ep), lambda ci, i: (ci, i, 0)),
+            pl.BlockSpec((1, th, ep), lambda ci, i: (ci, i, 0)),
+            pl.BlockSpec((128, 128), lambda ci, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, out_pad), lambda ci, i: (ci, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, mp, out_pad), jnp.float32),
+        interpret=interpret,
+    )(e, o, jnp.asarray(_J128))
+    return out[:, :m] if mp != m else out

@@ -333,11 +333,12 @@ def _mm_left(m, a, prec):
 
 
 @partial(jax.jit, static_argnames=("h2", "w2", "precision", "interpret",
-                                   "folded"))
+                                   "folded", "pallas_fold"))
 def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
                       precision: str = "highest",
                       interpret: bool = False,
-                      folded: bool = False) -> jnp.ndarray:
+                      folded: bool = False,
+                      pallas_fold: bool = True) -> jnp.ndarray:
     """DST solve in PADDED space with Pallas transposes (TPU serve path).
 
     XLA canonicalizes every GEMM of the DST chain to a right-multiply
@@ -363,8 +364,18 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
     forward and inverse (grouped eigenvalue vectors feed the fused divide),
     so nothing is re-interleaved mid-chain. Applied per axis only where the
     128-padded half-GEMMs actually win (fold_pays).
+
+    ``pallas_fold=True`` (default) runs those fold/unfold passes as Pallas
+    strip kernels (fold_minor_pallas/unfold_minor_pallas) instead of XLA
+    fusions — one ~roofline pass each vs 0.28-0.56 ms per XLA fold pair at
+    2400x1552 (docs/PERF.md). Bit-identical: the kernels' lane reversal is
+    exact and the summation order matches.
     """
-    from seamlesscloneoptimization_tpu.ops.pallas_kernels import transpose_pallas
+    from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+        fold_minor_pallas,
+        transpose_pallas,
+        unfold_minor_pallas,
+    )
 
     c, wp, hp = g_tp.shape
     hi = lambda a, v: _mm(a, v, _PRECISIONS["high"])  # noqa: E731
@@ -382,6 +393,22 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
     def axis_ops(n, n_pad):
         """(fwd, inv, lam) for one axis: folded where it pays, plain else."""
         if folded and fold_pays(n):
+            if pallas_fold:
+                he, ho = (n + 1) // 2, n // 2
+                ep, op = _ru128(he), _ru128(ho)
+                vep, vop, ve2p, vo2p = dst_matrices_folded(n)
+
+                def fwd(a):
+                    s, d = fold_minor_pallas(a, n, interpret=interpret)
+                    return jnp.concatenate([mm(s, vep), mm(d, vop)], axis=-1)
+
+                def inv(a):
+                    e = mm_inv(a[..., :ep], ve2p)
+                    o = mm_inv(a[..., ep:ep + op], vo2p)
+                    return unfold_minor_pallas(e, o, n, n_pad,
+                                               interpret=interpret)
+
+                return fwd, inv, dst_eigenvalues_grouped(n)
             return (lambda a: dst_fwd_folded_minor(a, n, mm),
                     lambda a: dst_inv_folded_minor(a, n, n_pad, mm_inv),
                     dst_eigenvalues_grouped(n))

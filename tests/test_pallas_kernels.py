@@ -301,7 +301,8 @@ class TestServeChainPallas:
         patches = []
         for name in ("preprocess_rhs_transposed_pallas", "erode3_pallas",
                      "transpose_pallas", "clamp_cast_pallas",
-                     "clamp_cast_guarded_pallas", "paste_interior_pallas"):
+                     "clamp_cast_guarded_pallas", "paste_interior_pallas",
+                     "fold_minor_pallas", "unfold_minor_pallas"):
             patches.append(mock.patch.object(PK, name, force_interp(getattr(PK, name))))
         return patches
 
@@ -692,3 +693,69 @@ class TestMgGeometry:
 
         th, hp, wp = mg_geometry(129, 257, th=32)
         assert th == 32 and hp == 160 and wp == 384
+
+
+class TestFoldKernels:
+    """fold/unfold Pallas kernels vs the XLA folded-DST forms (exact)."""
+
+    @pytest.mark.parametrize("n", [126, 127, 128, 129, 255, 256, 300, 775])
+    def test_fold_minor(self, n):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            fold_minor_pallas,
+        )
+
+        npad = (n + 127) // 128 * 128
+        rng = np.random.default_rng(n)
+        x = np.zeros((2, 256, npad), np.float32)
+        x[:, :, :n] = rng.normal(size=(2, 256, n)).astype(np.float32) * 50
+        s, d = fold_minor_pallas(jnp.asarray(x), n, interpret=True)
+        he, ho = (n + 1) // 2, n // 2
+        head = x[:, :, :ho]
+        tail = x[:, :, n - ho:n][:, :, ::-1]
+        s_true = head + tail
+        d_true = head - tail
+        np.testing.assert_array_equal(np.asarray(s)[:, :, :ho], s_true)
+        np.testing.assert_array_equal(np.asarray(d)[:, :, :ho], d_true)
+        if n % 2:  # middle element counted once
+            np.testing.assert_array_equal(np.asarray(s)[:, :, he - 1],
+                                          x[:, :, he - 1])
+
+    @pytest.mark.parametrize("n", [126, 127, 128, 129, 300])
+    def test_unfold_minor(self, n):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            unfold_minor_pallas,
+        )
+
+        he, ho = (n + 1) // 2, n // 2
+        ep = (he + 127) // 128 * 128
+        out_pad = max((n + 127) // 128 * 128, ep)
+        rng = np.random.default_rng(n)
+        e = np.zeros((2, 128, ep), np.float32)
+        o = np.zeros((2, 128, ep), np.float32)
+        e[:, :, :he] = rng.normal(size=(2, 128, he)).astype(np.float32)
+        o[:, :, :he] = rng.normal(size=(2, 128, he)).astype(np.float32)
+        out = unfold_minor_pallas(jnp.asarray(e), jnp.asarray(o), n, out_pad,
+                                  interpret=True)
+        want = np.zeros((2, 128, out_pad), np.float32)
+        want[:, :, :he] = e[:, :, :he] + o[:, :, :he]
+        want[:, :, he:n] = (e[:, :, :ho] - o[:, :, :ho])[:, :, ::-1]
+        np.testing.assert_array_equal(np.asarray(out), want)
+
+    @pytest.mark.parametrize("hw", [(61, 93), (200, 300), (255, 256)])
+    def test_solve_pl_pallas_fold_matches_xla_fold(self, hw):
+        from seamlesscloneoptimization_tpu.solvers.dst_gemm import (
+            solve_dst_gemm_pl,
+        )
+
+        h2, w2 = hw
+        hp = (h2 + 127) // 128 * 128
+        wp = (w2 + 127) // 128 * 128
+        rng = np.random.default_rng(7)
+        g_tp = np.zeros((3, wp, hp), np.float32)
+        g_tp[:, :w2, :h2] = rng.normal(size=(3, w2, h2)).astype(np.float32) * 50
+        g_tp = jnp.asarray(g_tp)
+        u_xla = np.asarray(solve_dst_gemm_pl(g_tp, h2=h2, w2=w2, folded=True,
+                                             pallas_fold=False, interpret=True))
+        u_pl = np.asarray(solve_dst_gemm_pl(g_tp, h2=h2, w2=w2, folded=True,
+                                            pallas_fold=True, interpret=True))
+        np.testing.assert_allclose(u_pl, u_xla, atol=1e-4, rtol=1e-6)
