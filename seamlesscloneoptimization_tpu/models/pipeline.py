@@ -105,13 +105,27 @@ def clone_roi(
                 dest_roi_u8, patch_in, mask_roi, kflags, mixed_rule)
             import os
 
-            u = solve_dst_gemm_pl(g_tp, h2=h2, w2=w2,
-                                  precision=solver_kwargs.get("precision", "highest"),
-                                  folded=dst_folded,
-                                  # A/B knob for the Pallas fold/unfold strip
-                                  # kernels (measured default: on)
-                                  pallas_fold=os.environ.get(
-                                      "SCL_PALLAS_FOLD", "1") == "1")
+            from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+                unfold_clamp_guarded_pallas,
+            )
+            from seamlesscloneoptimization_tpu.solvers.dst_gemm import fold_pays
+
+            # A/B knob for the Pallas fold/unfold strip kernels (measured
+            # default: on)
+            pallas_fold = os.environ.get("SCL_PALLAS_FOLD", "1") == "1"
+            prec = solver_kwargs.get("precision", "highest")
+            pair_chain = (dst_folded and pallas_fold
+                          and fold_pays(h2) and fold_pays(w2))
+            if guarded and return_inset and pair_chain:
+                # final unfold fused into the guarded clamp+cast: the solved
+                # slab never round-trips HBM in f32
+                e_w, o_w = solve_dst_gemm_pl(g_tp, h2=h2, w2=w2, precision=prec,
+                                             folded=True, pallas_fold=True,
+                                             return_parts=True)
+                return unfold_clamp_guarded_pallas(
+                    e_w, o_w, w2, g_tp.shape[1]), "guarded"
+            u = solve_dst_gemm_pl(g_tp, h2=h2, w2=w2, precision=prec,
+                                  folded=dst_folded, pallas_fold=pallas_fold)
             if guarded and return_inset:
                 return clamp_cast_guarded_pallas(u), "guarded"
             interior = clamp_cast_pallas(u, out_hw=(h2, w2))

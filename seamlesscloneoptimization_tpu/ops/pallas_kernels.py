@@ -1392,3 +1392,177 @@ def unfold_minor_pallas(e: jnp.ndarray, o: jnp.ndarray, n: int, out_pad: int,
         interpret=interpret,
     )(e, o, jnp.asarray(_J128))
     return out[:, :m] if mp != m else out
+
+
+def _tp_pair_kernel(a_ref, b_ref, o_ref, *, pa):
+    o_ref[0, :pa] = jnp.transpose(a_ref[0], (1, 0))
+    o_ref[0, pa:] = jnp.transpose(b_ref[0], (1, 0))
+
+
+def _tp_pair_div_kernel(a_ref, b_ref, lp_ref, lr_ref, o_ref, *, pa):
+    den = lp_ref[0][:, None] + lr_ref[0][None, :]  # (P, ta)
+    o_ref[0, :pa] = jnp.transpose(a_ref[0], (1, 0)) / den[:pa]
+    o_ref[0, pa:] = jnp.transpose(b_ref[0], (1, 0)) / den[pa:]
+
+
+def _tp_single_kernel(a_ref, o_ref):
+    o_ref[0] = jnp.transpose(a_ref[0], (1, 0))
+
+
+def _tp_single_div_kernel(a_ref, lp_ref, lr_ref, o_ref):
+    den = lp_ref[0][:, None] + lr_ref[0][None, :]
+    o_ref[0] = jnp.transpose(a_ref[0], (1, 0)) / den
+
+
+def transpose_pair_pallas(a: jnp.ndarray, b: jnp.ndarray | None = None,
+                          lam_p=None, lam_r=None,
+                          row_start: int = 0, row_count: int | None = None,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Transpose of [a | b] (lane concat) restricted to a row window.
+
+    a (C, M, PA), b (C, M, PB) or None — the logical input is
+    x = concat([a, b], lanes) (C, M, P). Returns x[:, row_start:
+    row_start+row_count, :] transposed -> (C, P, row_count), reading each
+    input element exactly once. This shape exists to keep the folded-DST
+    GEMM chain free of XLA-materialized concats and slices: the two
+    forward-GEMM outputs transpose as a PAIR (no concat), and the two
+    row-windows of the spectral slab transpose as separate calls whose
+    outputs feed the inverse GEMMs whole (no slices). With ``lam_p``
+    (len P) and ``lam_r`` (len M) also divides by
+    ``lam_p[p] + lam_r[row]`` — the spectral-divide fusion of
+    transpose_pallas, in the same grouped order as the operands.
+
+    All of M, PA, PB, row_start, row_count must be 128-multiples (the
+    folded chain's slabs always are).
+    """
+    c, m, pa = a.shape
+    pb = b.shape[-1] if b is not None else 0
+    rc = row_count if row_count is not None else m
+    ta = 128
+    assert m % ta == 0 and row_start % ta == 0 and rc % ta == 0, (m, row_start, rc)
+    assert pa % 128 == 0 and pb % 128 == 0, (pa, pb)
+    off = row_start // ta
+    grid = (c, rc // ta)
+    in_specs = [pl.BlockSpec((1, ta, pa), lambda ci, i: (ci, i + off, 0))]
+    args = [a]
+    if b is not None:
+        in_specs.append(pl.BlockSpec((1, ta, pb), lambda ci, i: (ci, i + off, 0)))
+        args.append(b)
+    if lam_p is not None:
+        lp = jnp.asarray(lam_p, jnp.float32)[None, :]
+        lr = jnp.asarray(lam_r, jnp.float32)[None, :]
+        assert lp.shape[-1] == pa + pb and lr.shape[-1] == m
+        in_specs += [
+            pl.BlockSpec((1, pa + pb), lambda ci, i: (0, 0)),
+            pl.BlockSpec((1, ta), lambda ci, i: (0, i + off)),
+        ]
+        args += [lp, lr]
+        kernel = (partial(_tp_pair_div_kernel, pa=pa) if b is not None
+                  else _tp_single_div_kernel)
+    else:
+        kernel = (partial(_tp_pair_kernel, pa=pa) if b is not None
+                  else _tp_single_kernel)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, pa + pb, ta), lambda ci, i: (ci, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((c, pa + pb, rc), jnp.float32),
+        interpret=interpret,
+    )(*args)
+
+
+def _unfold_body(e, o, j, *, n, he, out_lanes):
+    """Shared unfold arithmetic on one (th, ep) strip pair -> (th, out_lanes)."""
+    pad = out_lanes - e.shape[-1]
+    if pad:
+        z = jnp.zeros((e.shape[0], pad), jnp.float32)
+        e = jnp.concatenate([e, z], axis=-1)
+        o = jnp.concatenate([o, z], axis=-1)
+    diff_rev = _rev_lanes(e - o, n, j)
+    lane = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+    first = jnp.where(lane < he, e + o, 0.0)
+    second = jnp.where((lane >= he) & (lane < n), diff_rev, 0.0)
+    return first + second
+
+
+def _unfold_tp_kernel(e_ref, o_ref, j_ref, out_ref, *, n, he):
+    u = _unfold_body(e_ref[0], o_ref[0], j_ref[...], n=n, he=he,
+                     out_lanes=out_ref.shape[1])
+    out_ref[0] = jnp.transpose(u, (1, 0))
+
+
+def unfold_transpose_pallas(e: jnp.ndarray, o: jnp.ndarray, n: int,
+                            out_pad: int, row_start: int = 0,
+                            row_count: int | None = None,
+                            interpret: bool = False) -> jnp.ndarray:
+    """unfold_minor_pallas + transpose_pair_pallas fused into one pass.
+
+    e, o: (C, M, ep) inverse folded GEMM outputs (unfold_minor_pallas's
+    contract). Returns ``transpose(unfold(e, o, n, out_pad))[:, :, row_start:
+    row_start+row_count]`` — i.e. (C, out_pad, row_count) — without ever
+    materializing the unfolded slab. Used for the folded chain's
+    inverse-h -> transpose step: the two row windows (even/odd spectral
+    halves of the NEXT axis) come from two calls that together read each
+    element once.
+    """
+    c, m, ep = e.shape
+    rc = row_count if row_count is not None else m
+    ta = 128
+    assert m % ta == 0 and row_start % ta == 0 and rc % ta == 0
+    assert out_pad % 128 == 0 and out_pad >= n and out_pad >= ep
+    he = (n + 1) // 2
+    off = row_start // ta
+    return pl.pallas_call(
+        partial(_unfold_tp_kernel, n=n, he=he),
+        grid=(c, rc // ta),
+        in_specs=[
+            pl.BlockSpec((1, ta, ep), lambda ci, i: (ci, i + off, 0)),
+            pl.BlockSpec((1, ta, ep), lambda ci, i: (ci, i + off, 0)),
+            pl.BlockSpec((128, 128), lambda ci, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, out_pad, ta), lambda ci, i: (ci, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((c, out_pad, rc), jnp.float32),
+        interpret=interpret,
+    )(e, o, jnp.asarray(_J128))
+
+
+def _unfold_clamp_kernel(e_ref, o_ref, j_ref, out_ref, *, n, he):
+    u = _unfold_body(e_ref[0], o_ref[0], j_ref[...], n=n, he=he,
+                     out_lanes=out_ref.shape[-1])
+    out_ref[0] = jnp.clip(u, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def unfold_clamp_guarded_pallas(e: jnp.ndarray, o: jnp.ndarray, n: int,
+                                out_pad: int,
+                                interpret: bool = False) -> jnp.ndarray:
+    """unfold_minor_pallas + clamp_cast_guarded_pallas fused into one pass.
+
+    e, o: (C, HP, ep) — the folded chain's final inverse GEMM outputs along
+    the W axis (n = w2, out_pad = WP). Emits the same guarded u8 slab as
+    clamp_cast_guarded_pallas (data at block offset (+1, +1), ring
+    unwritten) for paste_interior_pallas, skipping the unfolded f32 slab's
+    HBM round-trip entirely.
+    """
+    c, hp, ep = e.shape
+    th, cw = 128, _PASTE_CW
+    wp5 = _round_up(out_pad, cw)
+    assert hp % th == 0 and out_pad % 128 == 0 and out_pad >= n
+    he = (n + 1) // 2
+    return pl.pallas_call(
+        partial(_unfold_clamp_kernel, n=n, he=he),
+        grid=(c, hp // th),
+        in_specs=[
+            pl.BlockSpec((1, th, ep), lambda ci, i: (ci, i, 0)),
+            pl.BlockSpec((1, th, ep), lambda ci, i: (ci, i, 0)),
+            pl.BlockSpec((128, 128), lambda ci, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (pl.Element(1), pl.Element(th), pl.Element(out_pad)),
+            lambda ci, i: (ci, pl.multiple_of((i + 1) * th, 128),
+                           pl.multiple_of(cw, 128)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, hp + 2 * th, wp5 + 2 * cw),
+                                       jnp.uint8),
+        interpret=interpret,
+    )(e, o, jnp.asarray(_J128))

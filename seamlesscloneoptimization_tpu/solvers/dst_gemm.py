@@ -333,12 +333,13 @@ def _mm_left(m, a, prec):
 
 
 @partial(jax.jit, static_argnames=("h2", "w2", "precision", "interpret",
-                                   "folded", "pallas_fold"))
+                                   "folded", "pallas_fold", "return_parts"))
 def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
                       precision: str = "highest",
                       interpret: bool = False,
                       folded: bool = False,
-                      pallas_fold: bool = True) -> jnp.ndarray:
+                      pallas_fold: bool = True,
+                      return_parts: bool = False):
     """DST solve in PADDED space with Pallas transposes (TPU serve path).
 
     XLA canonicalizes every GEMM of the DST chain to a right-multiply
@@ -373,8 +374,10 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
     """
     from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
         fold_minor_pallas,
+        transpose_pair_pallas,
         transpose_pallas,
         unfold_minor_pallas,
+        unfold_transpose_pallas,
     )
 
     c, wp, hp = g_tp.shape
@@ -389,6 +392,43 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
     else:
         prec = _PRECISIONS[precision]
         mm = mm_inv = lambda a, v: _mm(a, v, prec)  # noqa: E731
+
+    if folded and pallas_fold and fold_pays(h2) and fold_pays(w2):
+        # fully-Pallas folded chain: every fold/unfold is a strip kernel and
+        # every transpose consumes/produces the GEMM operands directly (pair
+        # inputs, row-window outputs) so XLA never materializes a concat or
+        # a slice copy between stages. 9 ~roofline passes + 8 half-GEMMs.
+        vep_h, vop_h, ve2p_h, vo2p_h = dst_matrices_folded(h2)
+        vep_w, vop_w, ve2p_w, vo2p_w = dst_matrices_folded(w2)
+        lam_h = dst_eigenvalues_grouped(h2)  # grouped, len GH = ep_h + op_h
+        lam_w = dst_eigenvalues_grouped(w2)
+        ep_h, op_h = _ru128((h2 + 1) // 2), _ru128(h2 // 2)
+        ep_w, op_w = _ru128((w2 + 1) // 2), _ru128(w2 // 2)
+        # forward h: fold the minor (H) axis, two half-GEMMs
+        s, d = fold_minor_pallas(g_tp, h2, interpret=interpret)
+        fe, fo = mm(s, vep_h), mm(d, vop_h)        # (C,WP,ep_h), (C,WP,op_h)
+        tr1 = transpose_pair_pallas(fe, fo, interpret=interpret)  # (C,GH,WP)
+        # forward w on the transposed slab
+        s2, d2 = fold_minor_pallas(tr1, w2, interpret=interpret)
+        ge, go = mm(s2, vep_w), mm(d2, vop_w)      # (C,GH,ep_w), (C,GH,op_w)
+        # spectral divide fused into the transposes back; the two row
+        # windows of GH come out as separate slabs for the inverse GEMMs
+        tr2e = transpose_pair_pallas(ge, go, lam_p=lam_w, lam_r=lam_h,
+                                     row_start=0, row_count=ep_h,
+                                     interpret=interpret)   # (C,GW,ep_h)
+        tr2o = transpose_pair_pallas(ge, go, lam_p=lam_w, lam_r=lam_h,
+                                     row_start=ep_h, row_count=op_h,
+                                     interpret=interpret)   # (C,GW,op_h)
+        e_h, o_h = mm_inv(tr2e, ve2p_h), mm_inv(tr2o, vo2p_h)  # (C,GW,ep_h) x2
+        # unfold along h FUSED into the transposes back (no unfolded slab)
+        t3e = unfold_transpose_pallas(e_h, o_h, h2, hp, row_start=0,
+                                      row_count=ep_w, interpret=interpret)
+        t3o = unfold_transpose_pallas(e_h, o_h, h2, hp, row_start=ep_w,
+                                      row_count=op_w, interpret=interpret)
+        e_w, o_w = mm_inv(t3e, ve2p_w), mm_inv(t3o, vo2p_w)
+        if return_parts:
+            return e_w, o_w
+        return unfold_minor_pallas(e_w, o_w, w2, wp, interpret=interpret)
 
     def axis_ops(n, n_pad):
         """(fwd, inv, lam) for one axis: folded where it pays, plain else."""

@@ -302,7 +302,9 @@ class TestServeChainPallas:
         for name in ("preprocess_rhs_transposed_pallas", "erode3_pallas",
                      "transpose_pallas", "clamp_cast_pallas",
                      "clamp_cast_guarded_pallas", "paste_interior_pallas",
-                     "fold_minor_pallas", "unfold_minor_pallas"):
+                     "fold_minor_pallas", "unfold_minor_pallas",
+                     "transpose_pair_pallas", "unfold_transpose_pallas",
+                     "unfold_clamp_guarded_pallas"):
             patches.append(mock.patch.object(PK, name, force_interp(getattr(PK, name))))
         return patches
 
@@ -393,9 +395,13 @@ class TestServeChainPallas:
         assert diff.max() <= 1, diff.max()
         assert np.array_equal(out[0, :, :], sky[0, :, :])
 
-    def test_planar_full_pallas_serve_matches(self, airplane, sky, irregular_mask):
+    @pytest.mark.parametrize("folded", [False, True])
+    def test_planar_full_pallas_serve_matches(self, airplane, sky, irregular_mask,
+                                              folded):
         """The planar serve step (full-Pallas chain + tile-local Pallas
-        paste) must match the plain engine within 1 LSB."""
+        paste) must match the plain engine within 1 LSB — with and without
+        the folded-DST pair chain (the folded variant exercises the fused
+        unfold+guarded-clamp kernel)."""
         import contextlib
         from unittest import mock
 
@@ -406,7 +412,8 @@ class TestServeChainPallas:
         from seamlesscloneoptimization_tpu.models import pipeline as P
 
         eng = SeamlessClone(CloneConfig(
-            use_pallas_preprocess=True, use_pallas_postprocess=True))
+            use_pallas_preprocess=True, use_pallas_postprocess=True,
+            dst_folded=folded))
         m, (x0, y0), (left, top), (bh, bw) = prepare_inputs(
             irregular_mask.copy(), airplane.shape, sky.shape, (700, 300))
         with contextlib.ExitStack() as es:
@@ -759,3 +766,59 @@ class TestFoldKernels:
         u_pl = np.asarray(solve_dst_gemm_pl(g_tp, h2=h2, w2=w2, folded=True,
                                             pallas_fold=True, interpret=True))
         np.testing.assert_allclose(u_pl, u_xla, atol=1e-4, rtol=1e-6)
+
+    @pytest.mark.parametrize("n", [127, 128, 300])
+    def test_unfold_transpose(self, n):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            unfold_minor_pallas,
+            unfold_transpose_pallas,
+        )
+
+        he = (n + 1) // 2
+        ep = (he + 127) // 128 * 128
+        out_pad = max((n + 127) // 128 * 128, ep)
+        rng = np.random.default_rng(n)
+        e = np.zeros((2, 256, ep), np.float32)
+        o = np.zeros((2, 256, ep), np.float32)
+        e[:, :, :he] = rng.normal(size=(2, 256, he)).astype(np.float32)
+        o[:, :, :he] = rng.normal(size=(2, 256, he)).astype(np.float32)
+        e, o = jnp.asarray(e), jnp.asarray(o)
+        want = jnp.swapaxes(unfold_minor_pallas(e, o, n, out_pad,
+                                                interpret=True), 1, 2)
+        got_a = unfold_transpose_pallas(e, o, n, out_pad, row_start=0,
+                                        row_count=128, interpret=True)
+        got_b = unfold_transpose_pallas(e, o, n, out_pad, row_start=128,
+                                        row_count=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_a),
+                                      np.asarray(want[:, :, :128]))
+        np.testing.assert_array_equal(np.asarray(got_b),
+                                      np.asarray(want[:, :, 128:256]))
+
+    @pytest.mark.parametrize("n", [127, 300])
+    def test_unfold_clamp_guarded(self, n):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            _PASTE_CW,
+            clamp_cast_guarded_pallas,
+            unfold_clamp_guarded_pallas,
+            unfold_minor_pallas,
+        )
+
+        he = (n + 1) // 2
+        ep = (he + 127) // 128 * 128
+        out_pad = max((n + 127) // 128 * 128, ep)
+        rng = np.random.default_rng(n)
+        e = np.zeros((3, 128, ep), np.float32)
+        o = np.zeros((3, 128, ep), np.float32)
+        e[:, :, :he] = rng.normal(size=(3, 128, he)).astype(np.float32) * 120
+        o[:, :, :he] = rng.normal(size=(3, 128, he)).astype(np.float32) * 120
+        e, o = jnp.asarray(e), jnp.asarray(o)
+        u = unfold_minor_pallas(e, o, n, out_pad, interpret=True)
+        want = clamp_cast_guarded_pallas(u, interpret=True)
+        got = unfold_clamp_guarded_pallas(e, o, n, out_pad, interpret=True)
+        assert got.shape == want.shape
+        th, cw = 128, _PASTE_CW
+        # only the written data region is defined (the ring/ragged block are
+        # uninitialized by contract); compare there
+        np.testing.assert_array_equal(
+            np.asarray(got)[:, th:th + 128, cw:cw + out_pad],
+            np.asarray(want)[:, th:th + 128, cw:cw + out_pad])
