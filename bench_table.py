@@ -53,9 +53,12 @@ def main():
         row = {"patch": f"{pw}x{ph}", "dst": f"{dw}x{dh}", "v100_fft_ms": v100_ms}
         folded = os.environ.get("SCL_DST_FOLDED", "1") == "1"
         for label, prec in (("exact_f32", "highest"), ("fast_bf16x3", "high")):
+            # bench.py's exact serve config (full-Pallas chain incl. the
+            # fold/unfold kernels and the planar paste) at each size
             eng = SeamlessClone(
                 CloneConfig(solver="dst_gemm", precision=prec, donate_dst=True,
-                            use_pallas_preprocess=True, dst_folded=folded)
+                            use_pallas_preprocess=True,
+                            use_pallas_postprocess=True, dst_folded=folded)
             )
             # the loop total must dwarf the sync round-trip correction
             # (~30-80 ms through the tunnel), or small sizes underflow
