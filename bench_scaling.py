@@ -35,6 +35,10 @@ def run_one(n_devices: int, tile: int, sweeps: int, path: str = "redblack") -> d
     path='multigrid': 4 GSPMD-partitioned V(1,2) cycles (fixed-work mode,
     the serving configuration) — XLA inserts the halo collectives and
     coarse-level reshards itself (SURVEY §2.18 item 3).
+    path='batch': DATA-parallel fused batch clone — 8 independent
+    (tile x tile) jobs PER DEVICE, the batch dim sharded over the flattened
+    mesh (SURVEY §2.18 item 1: embarrassingly parallel, no halo traffic;
+    the weak-scaling ceiling the spatial paths are measured against).
     """
     import jax
 
@@ -52,6 +56,33 @@ def run_one(n_devices: int, tile: int, sweeps: int, path: str = "redblack") -> d
 
     mesh = make_tile_mesh(jax.devices()[:n_devices])
     ty, tx = mesh.shape["ty"], mesh.shape["tx"]
+
+    if path == "batch":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from seamlesscloneoptimization_tpu.parallel.batch import clone_roi_batch
+        from seamlesscloneoptimization_tpu.solvers import solve_dst_gemm
+
+        jobs_per_dev, bhw = 8, min(tile, 256) + 2  # ROI incl. Dirichlet ring
+        n_jobs = jobs_per_dev * n_devices
+        rng = np.random.default_rng(0)
+        dests = rng.integers(0, 256, (n_jobs, 3, bhw, bhw)).astype(np.uint8)
+        patches = rng.integers(0, 256, (n_jobs, 3, bhw, bhw)).astype(np.uint8)
+        masks = np.full((n_jobs, bhw, bhw), 255, np.uint8)
+        batch_shard = NamedSharding(mesh, P(("ty", "tx")))
+        args = [jax.device_put(jnp.asarray(x), batch_shard)
+                for x in (dests, patches, masks)]
+        fn = lambda: clone_roi_batch(*args, 1, solve_dst_gemm)  # noqa: E731
+        jax.block_until_ready(fn())
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        dt = time.perf_counter() - t0
+        mp = n_jobs * bhw * bhw / 1e6
+        return {
+            "path": path, "devices": n_devices, "mesh": f"{ty}x{tx}",
+            "grid": f"{n_jobs}x{bhw}x{bhw}", "megapixels": round(mp, 1),
+            "seconds": round(dt, 3), "mp_clones_per_s": round(mp / dt, 1),
+        }
     H, W = tile * ty, tile * tx
     rng = np.random.default_rng(0)
     g = jax.device_put(
@@ -91,14 +122,16 @@ def main():
     p.add_argument("--devices", type=int, default=None, help="run one size (child mode)")
     p.add_argument("--tile", type=int, default=1024)
     p.add_argument("--sweeps", type=int, default=100)
-    p.add_argument("--path", choices=("redblack", "multigrid", "both"), default="both")
+    p.add_argument("--path", choices=("redblack", "multigrid", "batch", "both"),
+                   default="both")
     args = p.parse_args()
 
     if args.devices is not None:
         print(json.dumps(run_one(args.devices, args.tile, args.sweeps, args.path)))
         return
 
-    paths = ("redblack", "multigrid") if args.path == "both" else (args.path,)
+    paths = (("redblack", "multigrid", "batch") if args.path == "both"
+             else (args.path,))
     for path in paths:
         results = []
         for n in (1, 2, 4, 8):
