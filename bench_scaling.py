@@ -35,10 +35,12 @@ def run_one(n_devices: int, tile: int, sweeps: int, path: str = "redblack") -> d
     path='multigrid': 4 GSPMD-partitioned V(1,2) cycles (fixed-work mode,
     the serving configuration) — XLA inserts the halo collectives and
     coarse-level reshards itself (SURVEY §2.18 item 3).
-    path='batch': DATA-parallel fused batch clone — 8 independent
-    (tile x tile) jobs PER DEVICE, the batch dim sharded over the flattened
-    mesh (SURVEY §2.18 item 1: embarrassingly parallel, no halo traffic;
-    the weak-scaling ceiling the spatial paths are measured against).
+    path='batch': DATA-parallel fused batch clone — 8 independent jobs of
+    min(tile, 256)^2 interior PER DEVICE (capped: each job is a full DST
+    direct solve, O(n^3) on the CPU backend, so tile-sized jobs would take
+    minutes), the batch dim sharded over the flattened mesh (SURVEY §2.18
+    item 1: zero inter-device traffic by construction — the weak-scaling
+    STRUCTURE ceiling; per-device WORK is not comparable across paths).
     """
     import jax
 

@@ -7,25 +7,30 @@ so every stencil becomes tile-local compute + ICI halo exchange (SURVEY
 slice this script runs on 8 VIRTUAL CPU devices (the same fake-backend
 setup the tests use), demonstrating that the multi-chip program compiles
 and produces output identical to the single-device path; on real hardware
-the identical code shards over however many chips are visible.
+the identical code shards over however many chips are visible
+(pass --real to use the attached devices instead of the virtual mesh).
 
-    python examples/tiled_demo.py [out_dir] [dst_scale]
+    python examples/tiled_demo.py [out_dir] [dst_scale] [--real]
 """
 
 from __future__ import annotations
 
-import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-
 import jax
 
-jax.config.update("jax_platforms", "cpu")  # env var is overridden by a site hook
+if "--real" not in sys.argv:
+    # Default: demonstrate on 8 VIRTUAL CPU devices (jax_num_cpu_devices is
+    # the robust form — an already-set XLA_FLAGS would silently swallow the
+    # force_host_platform flag). Pass --real on a pod slice to shard over
+    # the attached chips instead; probing jax.device_count() first is not an
+    # option because it initializes the backend before the config can switch.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 
@@ -39,8 +44,9 @@ def main():
         seamless_clone_tiled,
     )
 
-    out_dir = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("./output/tiled_demo")
-    scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0  # 1.0 keeps CPU fast
+    argv = [a for a in sys.argv[1:] if a != "--real"]
+    out_dir = Path(argv[0]) if argv else Path("./output/tiled_demo")
+    scale = float(argv[1]) if len(argv) > 1 else 1.0  # 1.0 keeps CPU fast
     out_dir.mkdir(parents=True, exist_ok=True)
 
     a = cv2.imread("/root/reference/seamlessClone-OpenCV/images/airplane.jpg")

@@ -108,14 +108,16 @@ def clone_roi(
             from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
                 unfold_clamp_guarded_pallas,
             )
-            from seamlesscloneoptimization_tpu.solvers.dst_gemm import fold_pays
+            from seamlesscloneoptimization_tpu.solvers.dst_gemm import (
+                pallas_pair_chain_applies,
+            )
 
             # A/B knob for the Pallas fold/unfold strip kernels (measured
             # default: on)
             pallas_fold = os.environ.get("SCL_PALLAS_FOLD", "1") == "1"
             prec = solver_kwargs.get("precision", "highest")
             pair_chain = (dst_folded and pallas_fold
-                          and fold_pays(h2) and fold_pays(w2))
+                          and pallas_pair_chain_applies(h2, w2))
             if guarded and return_inset and pair_chain:
                 # final unfold fused into the guarded clamp+cast: the solved
                 # slab never round-trips HBM in f32

@@ -1346,19 +1346,8 @@ def fold_minor_pallas(x: jnp.ndarray, n: int, th: int = 128,
 
 
 def _unfold_kernel(e_ref, o_ref, j_ref, out_ref, *, n, he):
-    out_lanes = out_ref.shape[-1]
-    e = e_ref[0]
-    o = o_ref[0]
-    pad = out_lanes - e.shape[-1]
-    if pad:
-        z = jnp.zeros((e.shape[0], pad), jnp.float32)
-        e = jnp.concatenate([e, z], axis=-1)
-        o = jnp.concatenate([o, z], axis=-1)
-    diff_rev = _rev_lanes(e - o, n, j_ref[...])
-    lane = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
-    first = jnp.where(lane < he, e + o, 0.0)
-    second = jnp.where((lane >= he) & (lane < n), diff_rev, 0.0)
-    out_ref[0] = first + second
+    out_ref[0] = _unfold_body(e_ref[0], o_ref[0], j_ref[...], n=n, he=he,
+                              out_lanes=out_ref.shape[-1])
 
 
 def unfold_minor_pallas(e: jnp.ndarray, o: jnp.ndarray, n: int, out_pad: int,
@@ -1547,7 +1536,7 @@ def unfold_clamp_guarded_pallas(e: jnp.ndarray, o: jnp.ndarray, n: int,
     c, hp, ep = e.shape
     th, cw = 128, _PASTE_CW
     wp5 = _round_up(out_pad, cw)
-    assert hp % th == 0 and out_pad % 128 == 0 and out_pad >= n
+    assert hp % th == 0 and out_pad % 128 == 0 and out_pad >= n and out_pad >= ep
     he = (n + 1) // 2
     return pl.pallas_call(
         partial(_unfold_clamp_kernel, n=n, he=he),

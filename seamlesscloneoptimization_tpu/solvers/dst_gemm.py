@@ -104,6 +104,14 @@ def fold_pays(n: int) -> bool:
     return ep * ep + op * op < _ru128(n) ** 2
 
 
+def pallas_pair_chain_applies(h2: int, w2: int) -> bool:
+    """Whether solve_dst_gemm_pl's fully-Pallas folded PAIR chain runs (both
+    axes fold) — the single gate shared with the pipeline, which must know
+    because only that chain supports return_parts (the fused
+    unfold+guarded-clamp tail)."""
+    return fold_pays(h2) and fold_pays(w2)
+
+
 @lru_cache(maxsize=64)
 def dst_matrices_folded(n: int):
     """Padded folded DST-I factor matrices (Vep, Vop, Ve2p, Vo2p) f32.
@@ -393,7 +401,7 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
         prec = _PRECISIONS[precision]
         mm = mm_inv = lambda a, v: _mm(a, v, prec)  # noqa: E731
 
-    if folded and pallas_fold and fold_pays(h2) and fold_pays(w2):
+    if folded and pallas_fold and pallas_pair_chain_applies(h2, w2):
         # fully-Pallas folded chain: every fold/unfold is a strip kernel and
         # every transpose consumes/produces the GEMM operands directly (pair
         # inputs, row-window outputs) so XLA never materializes a concat or
@@ -429,6 +437,12 @@ def solve_dst_gemm_pl(g_tp: jnp.ndarray, h2: int, w2: int,
         if return_parts:
             return e_w, o_w
         return unfold_minor_pallas(e_w, o_w, w2, wp, interpret=interpret)
+
+    # return_parts is ONLY meaningful on the pair chain above; reaching here
+    # with it set means the caller's gate drifted from pallas_pair_chain_applies
+    assert not return_parts, (
+        "return_parts requires folded+pallas_fold and pallas_pair_chain_applies"
+        f"(h2={h2}, w2={w2})")
 
     def axis_ops(n, n_pad):
         """(fwd, inv, lam) for one axis: folded where it pays, plain else."""

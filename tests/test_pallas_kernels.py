@@ -748,7 +748,8 @@ class TestFoldKernels:
         want[:, :, he:n] = (e[:, :, :ho] - o[:, :, :ho])[:, :, ::-1]
         np.testing.assert_array_equal(np.asarray(out), want)
 
-    @pytest.mark.parametrize("hw", [(61, 93), (200, 300), (255, 256)])
+    @pytest.mark.parametrize("hw", [(61, 93), (200, 300), (255, 256),
+                                    (300, 90), (90, 300)])
     def test_solve_pl_pallas_fold_matches_xla_fold(self, hw):
         from seamlesscloneoptimization_tpu.solvers.dst_gemm import (
             solve_dst_gemm_pl,
