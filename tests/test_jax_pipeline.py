@@ -344,3 +344,27 @@ class TestBucketExact:
         out = np.asarray(eng.run(airplane, sky, mask.copy(), (800, 150)))
         s, m = diff_stats(golden, out)
         assert m <= 1, f"flags {flags}: diff max {m} (sum {s})"
+
+
+class TestEdgeProbes:
+    def test_all_zero_mask_returns_dst(self, airplane, sky):
+        """Empty mask: nothing to clone; the destination comes back untouched
+        (prepare_inputs returns None -> engine passthrough)."""
+        z = np.zeros(airplane.shape[:2], np.uint8)
+        out = np.asarray(seamless_clone(airplane, sky, z, (800, 150)))
+        assert np.array_equal(out, sky)
+
+    def test_paste_flush_with_dst_corner(self, airplane):
+        """ROI flush against the destination's top-left corner (a valid cv2
+        position): must stay bit-close, no clamping artifacts."""
+        rng = np.random.default_rng(3)
+        dst = rng.integers(0, 256, (400, 500, 3)).astype(np.uint8)
+        src = cv2.resize(airplane, (120, 80), interpolation=cv2.INTER_CUBIC)
+        mask = np.full(src.shape[:2], 255, np.uint8)
+        # cv2 centers the (eroded) mask bbox at `center`; put the ROI flush
+        # at the corner: bbox after 1px border-zero is 118x78 at offset (1,1)
+        center = (59, 39)
+        golden = cv2.seamlessClone(src, dst, mask.copy(), center, cv2.NORMAL_CLONE)
+        mine = seamless_clone(src, dst, mask.copy(), center)
+        s, m = diff_stats(golden, mine)
+        assert m <= 1, f"corner paste diff max {m} (sum {s})"
