@@ -1129,9 +1129,13 @@ def clamp_cast_pallas(u: jnp.ndarray, out_hw: tuple[int, int] | None = None,
     return out[:, :oh, :ow]
 
 
-_PASTE_CW = 512  # paste/guarded-clamp column block: 4x fewer grid steps than
-# 128 (741 -> ~230 at 2400x1552 — both kernels were per-grid-step-overhead
-# bound, 0.34/0.21 ms vs ~0.05 ms of DMA; see docs/PERF.md op profile)
+import os as _os
+
+_PASTE_CW = int(_os.environ.get("SCL_PASTE_CW", "512"))
+# paste/guarded-clamp column block: 4x fewer grid steps than 128
+# (741 -> ~230 at 2400x1552 — both kernels were per-grid-step-overhead
+# bound, 0.34/0.21 ms vs ~0.05 ms of DMA; see docs/PERF.md op profile).
+# SCL_PASTE_CW is a trace-time A/B knob like SCL_MG_TH.
 
 
 def clamp_cast_guarded_pallas(u: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
