@@ -313,3 +313,93 @@ def seamless_clone_np(
         }
         return out, stages
     return out
+
+
+# ---------------------------------------------------------------------------
+# Local gradient-domain editing (OpenCV photo-module family)
+# ---------------------------------------------------------------------------
+#
+# cv2's colorChange / illuminationChange / textureFlattening share the
+# seamlessClone machinery but solve on the WHOLE image (Dirichlet frame =
+# the image border, interior (H-2, W-2)) with the guidance modified only
+# inside the 3x-eroded mask. Rules pinned empirically against the installed
+# cv2 5.0 (diff_max <= 1 on random images; see tests): the erosion here uses
+# cv2.erode's REPLICATE-max border (out-of-bounds counts as 255), unlike
+# seamlessClone's zero-border myErode — the local-edit path never
+# border-zeroes the mask. The reference CUDA repo has none of these; they
+# extend its NORMAL_CLONE-only scope (seamlessClone_imp.cu:301).
+
+COLOR_CHANGE = "color_change"
+ILLUMINATION_CHANGE = "illumination_change"
+TEXTURE_FLATTENING = "texture_flattening"
+
+
+def erode3x3_replicate(mask: np.ndarray, iterations: int = 3) -> np.ndarray:
+    """Binary 3x3 erosion, out-of-bounds treated as 255 (cv2.erode default
+    border for erosion): border pixels stay set unless an IN-image neighbor
+    is zero."""
+    m = mask.astype(np.uint8)
+    for _ in range(iterations):
+        p = np.pad(m, 1, mode="constant", constant_values=255)
+        acc = np.full(m.shape, 255, np.uint16)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                acc = np.minimum(
+                    acc, p[1 + dy : 1 + dy + m.shape[0], 1 + dx : 1 + dx + m.shape[1]]
+                )
+        m = acc.astype(np.uint8)
+    return m
+
+
+def local_edit_np(
+    src: np.ndarray,
+    mask: np.ndarray | None,
+    kind: str,
+    *,
+    red_mul: float = 1.0,
+    green_mul: float = 1.0,
+    blue_mul: float = 1.0,
+    alpha: float = 0.2,
+    beta: float = 0.4,
+    edge_mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """NumPy oracle for cv2.{colorChange, illuminationChange,
+    textureFlattening}(src, mask, ...).
+
+    kind selects the in-mask gradient modification:
+      COLOR_CHANGE          g *= (blue_mul, green_mul, red_mul) per channel
+      ILLUMINATION_CHANGE   g *= alpha^beta * |g|^-beta  (0-gradients -> 0,
+                            OpenCV's patchNaNs)
+      TEXTURE_FLATTENING    g *= edge_mask (the caller supplies the Canny
+                            edge map of the masked source — cv2.Canny(src,
+                            low, high, apertureSize=kernel_size); Canny
+                            itself is host-side input prep, not part of the
+                            Poisson pipeline)
+    """
+    if mask is None:
+        mask = np.full(src.shape[:2], 255, np.uint8)
+    m_er = erode3x3_replicate((mask != 0).astype(np.uint8) * 255, 3)
+    me = (m_er.astype(np.float32) / 255.0)[..., None]
+    gx_d, gy_d = gradient_x(src), gradient_y(src)
+    gxm = gx_d * me
+    gym = gy_d * me
+    if kind == COLOR_CHANGE:
+        fac = np.array([blue_mul, green_mul, red_mul], np.float32)
+        gxm, gym = gxm * fac, gym * fac
+    elif kind == ILLUMINATION_CHANGE:
+        mag = np.sqrt(gxm * gxm + gym * gym)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scale = (alpha**beta) * mag ** (-beta)
+        scale = np.nan_to_num(scale, nan=0.0, posinf=0.0, neginf=0.0)
+        gxm, gym = gxm * scale, gym * scale
+    elif kind == TEXTURE_FLATTENING:
+        assert edge_mask is not None, "texture_flattening needs the Canny edges"
+        e = (edge_mask.astype(np.float32) / 255.0)[..., None]
+        gxm, gym = gxm * e, gym * e
+    else:
+        raise ValueError(f"unknown edit kind={kind!r}")
+    gx = gx_d * (1.0 - me) + gxm
+    gy = gy_d * (1.0 - me) + gym
+    g = poisson_rhs(gx, gy, src)
+    u = poisson_solve_dst(g)
+    return postprocess(u, src)

@@ -1,0 +1,100 @@
+"""Local gradient-domain editing: the OpenCV photo-module family on TPU.
+
+cv2's ``colorChange`` / ``illuminationChange`` / ``textureFlattening`` share
+the seamless-clone machinery — same Poisson solve, same Dirichlet treatment —
+but run on the WHOLE image (interior (H-2, W-2), boundary = the image border)
+with the guidance gradients modified only inside the 3x-eroded mask. The
+reference CUDA repo implements none of them (NORMAL_CLONE only,
+seamlessClone-CUDA/seamlessClone_imp.cu:301); the rules below were pinned
+empirically against cv2 5.0 to diff_max <= 1 (core/reference.py:local_edit_np
+is the NumPy oracle; tests/test_jax_pipeline.py:TestLocalEdits fuzzes both).
+
+One jitted program per (image shape, kind): edit parameters (channel factors,
+alpha/beta) are traced scalars, so sweeping them never recompiles — the knob
+the reference reserves for rebuilds (#define-style config, SURVEY §5.6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from seamlesscloneoptimization_tpu.ops.guidance import gradient_x, gradient_y
+from seamlesscloneoptimization_tpu.ops.postprocess import postprocess_roi
+from seamlesscloneoptimization_tpu.ops.rhs import poisson_rhs
+
+COLOR_CHANGE = "color_change"
+ILLUMINATION_CHANGE = "illumination_change"
+TEXTURE_FLATTENING = "texture_flattening"
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def erode3x3_replicate(mask01: jnp.ndarray, iterations: int = 3) -> jnp.ndarray:
+    """(H, W) {0,1} -> 3x3-eroded {0,1}, out-of-bounds counting as SET.
+
+    cv2.erode's default border for erosion (replicate-max): border pixels
+    survive unless an in-image neighbor is zero — unlike seamlessClone's
+    zero-border myErode (ops/mask.py), because the local-edit path never
+    border-zeroes its mask.
+    """
+    m = mask01.astype(jnp.float32)
+    for _ in range(iterations):
+        p = jnp.pad(m, 1, constant_values=1.0)
+        acc = m
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                acc = jnp.minimum(
+                    acc, p[1 + dy : 1 + dy + m.shape[0], 1 + dx : 1 + dx + m.shape[1]]
+                )
+        m = acc
+    return m
+
+
+@partial(jax.jit, static_argnames=("kind",), donate_argnums=())
+def local_edit_planar(
+    src_p: jnp.ndarray,
+    mask_eroded: jnp.ndarray,
+    params: jnp.ndarray,
+    edge_mask: jnp.ndarray | None = None,
+    *,
+    kind: str,
+) -> jnp.ndarray:
+    """Gradient-domain edit of a planar (C, H, W) u8 image, full-image solve.
+
+    mask_eroded: (H, W) f32 in {0, 1} — the 3x-eroded (replicate-border)
+    edit mask. params (traced, never recompiles):
+      COLOR_CHANGE        (C,) per-channel gradient factors, BGR order
+      ILLUMINATION_CHANGE (2,) [alpha, beta]
+      TEXTURE_FLATTENING  unused (pass zeros); edge_mask (H, W) f32 {0,1} is
+                          the host-computed Canny edge map
+    Returns the edited planar u8 image.
+    """
+    from seamlesscloneoptimization_tpu.solvers.dst_gemm import solve_dst_gemm
+
+    src_f = src_p.astype(jnp.float32)
+    gx_d = gradient_x(src_f)
+    gy_d = gradient_y(src_f)
+    me = mask_eroded[None, :, :]
+    gxm = gx_d * me
+    gym = gy_d * me
+    if kind == COLOR_CHANGE:
+        fac = params[:, None, None]
+        gxm, gym = gxm * fac, gym * fac
+    elif kind == ILLUMINATION_CHANGE:
+        alpha, beta = params[0], params[1]
+        mag = jnp.sqrt(gxm * gxm + gym * gym)
+        # alpha^beta * |g|^-beta; zero gradients stay zero (cv2's patchNaNs)
+        scale = jnp.where(mag > 0.0, (alpha**beta) * mag ** (-beta), 0.0)
+        gxm, gym = gxm * scale, gym * scale
+    elif kind == TEXTURE_FLATTENING:
+        e = edge_mask[None, :, :]
+        gxm, gym = gxm * e, gym * e
+    else:
+        raise ValueError(f"unknown edit kind={kind!r}")
+    gx = gx_d * (1.0 - me) + gxm
+    gy = gy_d * (1.0 - me) + gym
+    g = poisson_rhs(gx, gy, src_f)
+    u = solve_dst_gemm(g)
+    return postprocess_roi(u, src_p)

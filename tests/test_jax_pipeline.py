@@ -368,3 +368,87 @@ class TestEdgeProbes:
         mine = seamless_clone(src, dst, mask.copy(), center)
         s, m = diff_stats(golden, mine)
         assert m <= 1, f"corner paste diff max {m} (sum {s})"
+
+
+class TestLocalEdits:
+    """cv2 photo-module family (colorChange/illuminationChange/
+    textureFlattening): the reference has NORMAL_CLONE only; these reuse the
+    Poisson machinery with modified guidance. Rules pinned vs cv2 5.0."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_color_change_bitclose_vs_cv2(self, seed):
+        from seamlesscloneoptimization_tpu.api import color_change
+
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(24, 80)), int(rng.integers(24, 80))
+        src = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        mask = np.zeros((h, w), np.uint8)
+        cv2.circle(mask, (w // 2, h // 2), min(h, w) // 3, 255, -1)
+        want = cv2.colorChange(src, mask.copy(), red_mul=1.7, green_mul=0.6,
+                               blue_mul=1.2)
+        got = color_change(src, mask, red_mul=1.7, green_mul=0.6, blue_mul=1.2)
+        d = np.abs(want.astype(int) - got.astype(int)).max()
+        assert d <= 1, d
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_illumination_change_bitclose_vs_cv2(self, seed):
+        from seamlesscloneoptimization_tpu.api import illumination_change
+
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, 256, (50, 60, 3)).astype(np.uint8)
+        mask = np.zeros((50, 60), np.uint8)
+        cv2.ellipse(mask, (30, 25), (20, 14), 0, 0, 360, 255, -1)
+        want = cv2.illuminationChange(src, mask.copy(), alpha=0.25, beta=0.35)
+        got = illumination_change(src, mask, alpha=0.25, beta=0.35)
+        d = np.abs(want.astype(int) - got.astype(int)).max()
+        assert d <= 1, d
+
+    def test_texture_flattening_bitclose_vs_cv2(self, airplane):
+        from seamlesscloneoptimization_tpu.api import texture_flattening
+
+        src = cv2.resize(airplane, (96, 64), interpolation=cv2.INTER_CUBIC)
+        mask = np.zeros((64, 96), np.uint8)
+        mask[10:54, 14:82] = 255
+        want = cv2.textureFlattening(src, mask.copy(), low_threshold=30,
+                                     high_threshold=45, kernel_size=3)
+        got = texture_flattening(src, mask, 30, 45, 3)
+        d = np.abs(want.astype(int) - got.astype(int)).max()
+        assert d <= 1, d
+
+    def test_oracle_matches_cv2(self):
+        """NumPy oracle (core/reference.local_edit_np) vs cv2, all kinds."""
+        rng = np.random.default_rng(7)
+        src = rng.integers(0, 256, (40, 44, 3)).astype(np.uint8)
+        mask = np.zeros((40, 44), np.uint8)
+        cv2.circle(mask, (22, 20), 12, 255, -1)
+        cc = cv2.colorChange(src, mask.copy(), red_mul=0.5, green_mul=1.4,
+                             blue_mul=1.0)
+        my = R.local_edit_np(src, mask, R.COLOR_CHANGE, red_mul=0.5,
+                             green_mul=1.4, blue_mul=1.0)
+        assert np.abs(cc.astype(int) - my.astype(int)).max() <= 1
+        ic = cv2.illuminationChange(src, mask.copy(), alpha=0.2, beta=0.4)
+        my2 = R.local_edit_np(src, mask, R.ILLUMINATION_CHANGE, alpha=0.2,
+                              beta=0.4)
+        assert np.abs(ic.astype(int) - my2.astype(int)).max() <= 1
+
+    def test_param_sweep_no_recompile(self):
+        """Edit parameters are traced: sweeping them reuses one program."""
+        import jax
+
+        from seamlesscloneoptimization_tpu.api import color_change
+
+        rng = np.random.default_rng(0)
+        src = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+        mask = np.full((40, 40), 255, np.uint8)
+        color_change(src, mask, 1.1, 1.0, 1.0)  # warm
+        with jax.log_compiles():
+            import logging
+
+            rec = []
+            h = logging.Handler()
+            h.emit = lambda r: rec.append(r.getMessage())
+            logging.getLogger("jax._src.interpreters.pxla").addHandler(h)
+            for f in (0.5, 0.9, 1.7):
+                color_change(src, mask, f, 1.0, 1.0)
+            logging.getLogger("jax._src.interpreters.pxla").removeHandler(h)
+        assert not [m for m in rec if "local_edit_planar" in m], rec
