@@ -8,7 +8,10 @@ from seamlesscloneoptimization_tpu.parallel.batch import (
     clone_roi_batch,
     seamless_clone_batch_fused,
 )
-from seamlesscloneoptimization_tpu.parallel.clone_tiled import seamless_clone_tiled
+from seamlesscloneoptimization_tpu.parallel.clone_tiled import (
+    local_edit_tiled,
+    seamless_clone_tiled,
+)
 
 __all__ = [
     "init_distributed",
@@ -19,4 +22,5 @@ __all__ = [
     "clone_roi_batch",
     "seamless_clone_batch_fused",
     "seamless_clone_tiled",
+    "local_edit_tiled",
 ]

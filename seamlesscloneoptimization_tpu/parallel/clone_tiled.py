@@ -82,3 +82,104 @@ def seamless_clone_tiled(
         jax.device_put(np.array([left, top], np.int32), repl),
     )
     return np.asarray(out)
+
+
+def local_edit_tiled(
+    src,
+    mask,
+    kind: str,
+    params,
+    edge_mask=None,
+    mesh=None,
+    tol: float = 1e-5,
+):
+    """Gradient-domain edit (ops/edit.py kinds) sharded over a device mesh.
+
+    The editing family solves on the WHOLE image, so huge panoramas want the
+    same GSPMD domain decomposition as seamless_clone_tiled: the planar image
+    is sharded (C, 'ty', 'tx'), the guidance modification is elementwise
+    (tile-local under any sharding), and the Poisson solve runs as sharded
+    multigrid to ``tol`` — converging to the same solution the single-device
+    exact path produces (validated <= 1 LSB on the virtual mesh,
+    tests/test_parallel.py). Returns uint8 HWC numpy.
+    """
+    import jax.numpy as jnp
+
+    from seamlesscloneoptimization_tpu.ops.edit import (
+        erode3x3_replicate,
+        local_edit_planar,
+    )
+
+    mesh = mesh if mesh is not None else make_tile_mesh()
+    src = np.asarray(src)
+    if mask is None:
+        mask = np.full(src.shape[:2], 255, np.uint8)
+    m01 = (np.asarray(mask) != 0).astype(np.float32)
+
+    tile = NamedSharding(mesh, P(None, "ty", "tx"))
+    plane = NamedSharding(mesh, P("ty", "tx"))
+    repl = NamedSharding(mesh, P())
+
+    def solver(g):
+        g = jax.lax.with_sharding_constraint(g, tile)
+        u = solve_multigrid(g, tol=tol)
+        return jax.lax.with_sharding_constraint(u, tile)
+
+    key = ("edit", mesh, src.shape, kind, edge_mask is not None, tol)
+    fn = _cache.get(key)
+    if fn is None:
+        kwargs = dict(kind=kind, solver=solver)
+        fn = jax.jit(
+            partial(_local_edit_sharded, **kwargs),
+            in_shardings=(tile, plane, repl) + ((plane,) if edge_mask is not None else ()),
+            out_shardings=tile,
+        )
+        _cache[key] = fn
+    args = [
+        jax.device_put(np.transpose(src, (2, 0, 1)), tile),
+        jax.device_put(m01, plane),
+        jax.device_put(np.asarray(params, np.float32), repl),
+    ]
+    if edge_mask is not None:
+        args.append(jax.device_put(
+            np.asarray(edge_mask, np.float32) / 255.0, plane))
+    out = fn(*args)
+    return np.transpose(np.asarray(out), (1, 2, 0))
+
+
+def _local_edit_sharded(src_p, m01, params, edge=None, *, kind, solver):
+    """jit body: replicate ops/edit.py:local_edit_planar with a pluggable
+    (sharded) solver. Kept in sync with that function's guidance rules."""
+    import jax.numpy as jnp
+
+    from seamlesscloneoptimization_tpu.ops.edit import (
+        COLOR_CHANGE,
+        ILLUMINATION_CHANGE,
+        TEXTURE_FLATTENING,
+        erode3x3_replicate,
+    )
+    from seamlesscloneoptimization_tpu.ops.guidance import gradient_x, gradient_y
+    from seamlesscloneoptimization_tpu.ops.postprocess import postprocess_roi
+    from seamlesscloneoptimization_tpu.ops.rhs import poisson_rhs
+
+    me = erode3x3_replicate(m01)[None, :, :]
+    src_f = src_p.astype(jnp.float32)
+    gx_d, gy_d = gradient_x(src_f), gradient_y(src_f)
+    gxm, gym = gx_d * me, gy_d * me
+    if kind == COLOR_CHANGE:
+        fac = params[:, None, None]
+        gxm, gym = gxm * fac, gym * fac
+    elif kind == ILLUMINATION_CHANGE:
+        alpha, beta = params[0], params[1]
+        mag = jnp.sqrt(gxm * gxm + gym * gym)
+        scale = jnp.where(mag > 0.0, (alpha**beta) * mag ** (-beta), 0.0)
+        gxm, gym = gxm * scale, gym * scale
+    elif kind == TEXTURE_FLATTENING:
+        gxm, gym = gxm * edge[None], gym * edge[None]
+    else:
+        raise ValueError(kind)
+    gx = gx_d * (1.0 - me) + gxm
+    gy = gy_d * (1.0 - me) + gym
+    g = poisson_rhs(gx, gy, src_f)
+    u = solver(g)
+    return postprocess_roi(u, src_p)

@@ -234,3 +234,25 @@ class TestTiledClone:
         )
         d = np.abs(out.astype(int) - golden.astype(int))
         assert d.max() <= 1, f"diff max {d.max()}"
+
+
+class TestLocalEditTiled:
+    def test_color_change_sharded_matches_single(self, airplane):
+        """GSPMD-sharded colorChange == single-device exact path <= 1 LSB."""
+        import cv2 as _cv2
+
+        from seamlesscloneoptimization_tpu.api import color_change
+        from seamlesscloneoptimization_tpu.ops.edit import COLOR_CHANGE
+        from seamlesscloneoptimization_tpu.parallel import make_tile_mesh
+        from seamlesscloneoptimization_tpu.parallel.clone_tiled import (
+            local_edit_tiled,
+        )
+
+        src = _cv2.resize(airplane, (160, 120), interpolation=_cv2.INTER_CUBIC)
+        mask = np.zeros((120, 160), np.uint8)
+        _cv2.circle(mask, (80, 60), 40, 255, -1)
+        want = color_change(src, mask, 1.6, 0.7, 1.1)
+        got = local_edit_tiled(src, mask, COLOR_CHANGE, [1.1, 0.7, 1.6],
+                               mesh=make_tile_mesh(), tol=1e-6)
+        d = np.abs(want.astype(int) - got.astype(int)).max()
+        assert d <= 1, d
