@@ -46,6 +46,24 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _vmem_params(th: int, wp: int, interpret: bool):
+    """CompilerParams raising Mosaic's scoped-VMEM limit for tall strips.
+
+    The default ~16 MB cap rejects level-kernel strip heights past ~64 at
+    8K widths (th=80 at wp=3840 overflows it by 1.88 MB — docs/PERF.md)
+    while the v5e has real headroom: 64 MB kernels measured clean
+    (tools/tpu_queue.md fold-probe). Sized from the ghosted-window
+    footprint with generous headroom for double buffering + body
+    temporaries, floored at the default so small strips are unaffected,
+    capped at 96 MB. ``None`` in interpret mode (no Mosaic there).
+    """
+    if interpret:
+        return None
+    est = 4 * wp * (th + 2 * _M) * 20
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(96 << 20, max(16 << 20, est)))
+
+
 def _strip_height(wp: int, n_windows: int, budget_bytes: int = 6 << 20) -> int:
     """Largest multiple-of-8 strip height whose pipelined windows fit VMEM.
 
@@ -211,6 +229,7 @@ def _rb_launch(up, gp, n_sweeps, th, h, w, wp, hp, c, interpret):
         in_specs=[_halo_spec(th, wp), _halo_spec(th, wp)],
         out_specs=pl.BlockSpec((1, th, wp), lambda c, i: (c, i, 0)),
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        compiler_params=_vmem_params(th, wp, interpret),
         interpret=interpret,
     )(up, gp)
 
@@ -224,6 +243,7 @@ def _rb_launch_b(up, gp, n_sweeps, th, h, w, wp, hp, c, interpret):
         in_specs=[ctr, top, bot] * 2,
         out_specs=pl.BlockSpec((1, th, wp), lambda c, i: (c, i, 0)),
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        compiler_params=_vmem_params(th, wp, interpret),
         interpret=interpret,
     )(up, up, up, gp, gp, gp)
 
@@ -461,6 +481,7 @@ def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
                 in_specs=[ctr, top, bot],
                 out_specs=out_specs,
                 out_shape=out_shape,
+                compiler_params=_vmem_params(th, wp, interpret),
                 interpret=interpret,
             )(g, g, g)
         return pl.pallas_call(
@@ -469,6 +490,7 @@ def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
             in_specs=[ctr, top, bot] * 2,
             out_specs=out_specs,
             out_shape=out_shape,
+            compiler_params=_vmem_params(th, wp, interpret),
             interpret=interpret,
         )(u, u, u, g, g, g)
     c, h, w = g.shape
@@ -494,6 +516,7 @@ def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
                 in_specs=[ctr, top, bot],
                 out_specs=out_specs,
                 out_shape=out_shape,
+                compiler_params=_vmem_params(th, wp, interpret),
                 interpret=interpret,
             )(gp, gp, gp)
             return u_out[:, :h, :w], rh[:, :hc, :w]
@@ -504,6 +527,7 @@ def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
             in_specs=[ctr, top, bot] * 2,
             out_specs=out_specs,
             out_shape=out_shape,
+            compiler_params=_vmem_params(th, wp, interpret),
             interpret=interpret,
         )(up, up, up, gp, gp, gp)
         return u_out[:, :h, :w], rh[:, :hc, :w]
@@ -516,6 +540,7 @@ def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
             in_specs=[_halo_spec(th, wp)],
             out_specs=out_specs,
             out_shape=out_shape,
+            compiler_params=_vmem_params(th, wp, interpret),
             interpret=interpret,
         )(gp)
         return u_out[:, :h, :w], rh[:, :hc, :w]
@@ -526,6 +551,7 @@ def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
         in_specs=[_halo_spec(th, wp), _halo_spec(th, wp)],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=_vmem_params(th, wp, interpret),
         interpret=interpret,
     )(up, gp)
     return u_out[:, :h, :w], rh[:, :hc, :w]
@@ -635,6 +661,7 @@ def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
             in_specs=[ctr, top, bot, ctr, top, bot, ec_ctr, ec_top, ec_bot],
             out_specs=pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
             out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            compiler_params=_vmem_params(th, wp, interpret),
             interpret=interpret,
         )(u, u, u, g, g, g, e_lane, e_lane, e_lane)
     c, h, w = u.shape
@@ -654,6 +681,7 @@ def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
             in_specs=[ctr, top, bot, ctr, top, bot, ec_ctr, ec_top, ec_bot],
             out_specs=pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
             out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+            compiler_params=_vmem_params(th, wp, interpret),
             interpret=interpret,
         )(up, up, up, gp, gp, gp, ep, ep, ep)
         return out[:, :h, :w]
@@ -669,6 +697,7 @@ def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
                   _coarse_halo_spec(th // 2, wp)],
         out_specs=pl.BlockSpec((1, th, wp), lambda ci, i: (ci, i, 0)),
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
+        compiler_params=_vmem_params(th, wp, interpret),
         interpret=interpret,
     )(up, gp, ep)
     return out[:, :h, :w]

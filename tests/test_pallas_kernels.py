@@ -701,6 +701,19 @@ class TestMgGeometry:
         th, hp, wp = mg_geometry(129, 257, th=32)
         assert th == 32 and hp == 160 and wp == 384
 
+    def test_vmem_params(self):
+        """Tall strips raise Mosaic's scoped-VMEM limit (the measured th=80/
+        wp=3840 boundary was a compile failure at the ~16 MB default); small
+        strips keep the floor, interpret mode passes no params at all."""
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import _vmem_params
+
+        assert _vmem_params(128, 3840, interpret=True) is None
+        small = _vmem_params(16, 256, interpret=False)
+        assert small.vmem_limit_bytes == 16 << 20  # floor: default behavior
+        tall = _vmem_params(128, 3840, interpret=False)
+        assert (16 << 20) < tall.vmem_limit_bytes <= 96 << 20
+        assert _vmem_params(512, 16384, interpret=False).vmem_limit_bytes == 96 << 20
+
 
 class TestFoldKernels:
     """fold/unfold Pallas kernels vs the XLA folded-DST forms (exact)."""
