@@ -125,13 +125,17 @@ def mg_geometry(h: int, w: int, th: int | None = None) -> tuple[int, int, int]:
     its level arrays with EXACTLY the padding the kernels' blocked specs
     expect; this is the single source of that geometry.
 
-    Default th is width-keyed from the 2026-08-18 v5e FULL-solver sweeps
+    Default th is width-keyed from the v5e FULL-solver sweeps
     (tools/time_solver.py multigrid_fixed4_padded, SCL_MG_TH sweep — the
-    isolated mg_down optimum does NOT transfer to the full V-cycle):
-    wp=2432 optimum 48 (9.30 ms vs 11.49 at th=16, 11.51 at th=64);
-    wp=3840 optimum 64 (29.22 ms vs 31.90 at th=32; th=80 exceeds the
-    16 MB scoped-VMEM limit by 1.88 MB — the clamp below reproduces that
-    boundary). SCL_MG_TH overrides for sweeps (trace-time read, like
+    isolated mg_down optimum does NOT transfer to the full V-cycle).
+    2026-08-19 re-sweep with the _vmem_params scoped-VMEM raise (which
+    made th > 64 legal at 8K widths): wp=2432 optimum 160 (7.84 ms vs
+    9.42 at the old 48; 128/192/320 within tunnel noise); wp=3840 optimum
+    128 (27.37 ms vs 29.55 at the old 64; plateau 160/192). The height
+    clamp keeps small COARSE levels from rounding up into padding rows
+    (th > h buys nothing); the _strip_height clamp bounds the window
+    footprint to ~1.67x its budget, inside _vmem_params' 96 MB cap.
+    SCL_MG_TH overrides for sweeps (trace-time read, like
     SCL_PALLAS_GHOST).
     """
     import os
@@ -142,9 +146,10 @@ def mg_geometry(h: int, w: int, th: int | None = None) -> tuple[int, int, int]:
         if th_env:
             th = max(16, int(th_env) // 16 * 16)
         else:
-            th = 48 if wp <= 2560 else 64
+            th = 160 if wp <= 2560 else 128
+            th = min(th, _round_up(max(h, 16), 16))
             th = min(th, max(16, _strip_height(wp, n_windows=3,
-                                               budget_bytes=16 << 20) // 16 * 16))
+                                               budget_bytes=48 << 20) // 16 * 16))
     return th, _round_up(h, th), wp
 
 

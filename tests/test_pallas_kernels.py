@@ -664,25 +664,36 @@ class TestFusedMultigridKernels:
 class TestMgGeometry:
     """Pins the strip-height contract the padded-space V-cycle allocates
     against (ops/pallas_kernels.py:mg_geometry): width-keyed defaults from
-    the 2026-08-18 full-solver hardware sweeps, the scoped-VMEM clamp at the
-    measured th=80/wp=3840 OOM boundary, and the SCL_MG_TH override."""
+    the 2026-08-19 full-solver hardware re-sweep (post _vmem_params), the
+    coarse-level height clamp, the scoped-VMEM clamp, and the SCL_MG_TH
+    override."""
 
     def test_width_keyed_defaults(self):
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_geometry
 
-        th, hp, wp = mg_geometry(1550, 2398)  # headline: wp=2432 -> th=48
-        assert (th, wp) == (48, 2432) and hp % th == 0
-        th, hp, wp = mg_geometry(2798, 3798)  # 8K: wp=3840 -> th=64
-        assert (th, wp) == (64, 3840) and hp % th == 0
+        th, hp, wp = mg_geometry(1550, 2398)  # headline: wp=2432 -> th=160
+        assert (th, wp) == (160, 2432) and hp % th == 0
+        th, hp, wp = mg_geometry(2798, 3798)  # 8K: wp=3840 -> th=128
+        assert (th, wp) == (128, 3840) and hp % th == 0
+
+    def test_height_clamp_coarse_levels(self):
+        """A level shorter than the width-keyed th gets a single strip of
+        ~its own height instead of padding rows up to a tall strip."""
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_geometry
+
+        th, hp, wp = mg_geometry(97, 2398)
+        assert th == 112 and hp == 112  # round_up(97, 16): one strip, no waste
+        th, hp, _ = mg_geometry(5, 300)
+        assert th == 16 and hp == 16  # floor
 
     def test_vmem_clamp_very_wide(self):
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
             _strip_height, mg_geometry)
 
-        th, hp, wp = mg_geometry(1000, 15500)
-        assert th < 64  # the 16 MB scoped-VMEM budget forces narrow strips
+        th, hp, wp = mg_geometry(10000, 40000)
+        assert th < 128  # the VMEM budget forces narrower strips
         assert th == max(16, _strip_height(wp, n_windows=3,
-                                           budget_bytes=16 << 20) // 16 * 16)
+                                           budget_bytes=48 << 20) // 16 * 16)
         assert th % 16 == 0 and hp % th == 0
 
     def test_env_override(self, monkeypatch):

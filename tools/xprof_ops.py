@@ -5,7 +5,7 @@ Decodes the xplane protobuf via tensorboard_plugin_profile's converter.
 
     timeout 580 python tools/xprof_ops.py [piece] [h w] [loops]
 
-pieces: vcycle vcycle_pl solve_tol solve_tol_pl fmg serve
+pieces: vcycle vcycle_pl solve_tol solve_tol_pl solve_fix4_padded fmg serve
 """
 
 from __future__ import annotations
@@ -112,6 +112,9 @@ def main():
             gg + 0.0 * x[:, :1, :1].sum(), tol=2e-4)),
         "solve_tol_pl": jax.jit(lambda x, gg: MG.solve_multigrid(
             gg + 0.0 * x[:, :1, :1].sum(), tol=2e-4, use_pallas=True)),
+        "solve_fix4_padded": jax.jit(lambda x, gg: MG.solve_multigrid(
+            gg + 0.0 * x[:, :1, :1].sum(), cycles=4, use_pallas=True,
+            padded=True)),
     }
     f = fns[piece]
     s = jax.jit(lambda a: jnp.max(jnp.abs(a)))
