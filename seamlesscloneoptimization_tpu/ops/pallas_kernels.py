@@ -184,6 +184,26 @@ def _asm_window(i, th: int, h: int, wp: int, ctr_ref, top_ref, bot_ref):
 # ---------------------------------------------------------------------------
 
 
+def _lane_neighbors(w: int, wp: int):
+    """(left, right) fetches: out[:, j] = x[:, j-1] / x[:, j+1], zero edges.
+
+    Roll form when w < wp: Mosaic lowers the off-128 lane pad in the naive
+    pad/slice form into masked shifts that dominated the stencil kernels'
+    VPU time (tools/probe_nsum.py: 3.15 -> 1.74 ms for the 4-sweep kernel
+    at 3x2816x3840, bit-identical). A cyclic ``pltpu.roll`` is exact
+    instead: lanes >= w hold zeros by the padded-space invariant, so the
+    wrap carries an exact zero into column 0's left neighbor (the
+    Dirichlet pad), and every wrapped garbage lane lands at column >= w,
+    already excluded by the callers' in_dom selects. Pad/slice fallback
+    when w == wp (the wrap would carry real data).
+    """
+    if w < wp:
+        return (lambda x: pltpu.roll(x, 1, 1),
+                lambda x: pltpu.roll(x, wp - 1, 1))
+    return (lambda x: jnp.pad(x[:, :-1], ((0, 0), (1, 0))),
+            lambda x: jnp.pad(x[:, 1:], ((0, 0), (0, 1))))
+
+
 def _rb_body(u, g, i, *, n_sweeps, th, h, w, wp):
     """k sweeps inside a (th + 2M, wp) ghosted window; returns the strip.
 
@@ -199,10 +219,11 @@ def _rb_body(u, g, i, *, n_sweeps, th, h, w, wp):
     par = (rows + cols) % 2 == 0
     red = par & in_dom
     black = (~par) & in_dom
+    lsh, rsh = _lane_neighbors(w, wp)
 
     def nsum(x):
-        xp = jnp.pad(x, ((1, 1), (1, 1)))
-        return xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:]
+        vert = jnp.pad(x, ((1, 1), (0, 0)))
+        return vert[:-2, :] + vert[2:, :] + lsh(x) + rsh(x)
 
     def body(_, x):
         x = jnp.where(red, (nsum(x) - g) * 0.25, x)
@@ -314,17 +335,19 @@ def rb_sweeps_pallas(
 # kernel-merging campaign applied to the V-cycle (PDF §2.1.8-§2.1.11).
 
 
-def _level_ops(rows, cols, h, w, bh, bw):
+def _level_ops(rows, cols, h, w, bh, bw, wp):
     """(nsum, inv_diag, diag) of the level operator inside a strip kernel.
 
     bh/bw are the level's boundary-gap parameters (solvers/multigrid.py
     _coarsen): Shortley-Weller coefficients on the last row/col when != 1,
     the plain 5-point stencil (all constants, zero overhead) when == 1.
+    Lane neighbors via _lane_neighbors (roll form when w < wp).
     """
+    lsh, rsh = _lane_neighbors(w, wp)
     if bh == 1.0 and bw == 1.0:
         def nsum(x):
-            xp = jnp.pad(x, ((1, 1), (1, 1)))
-            return xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:]
+            vert = jnp.pad(x, ((1, 1), (0, 0)))
+            return vert[:-2, :] + vert[2:, :] + lsh(x) + rsh(x)
         return nsum, 0.25, 4.0
     lrow = jnp.where(rows == h - 1, jnp.float32(2.0 / (1.0 + bh) - 1.0), 0.0)
     lcol = jnp.where(cols == w - 1, jnp.float32(2.0 / (1.0 + bw) - 1.0), 0.0)
@@ -332,10 +355,10 @@ def _level_ops(rows, cols, h, w, bh, bw):
             + jnp.where(cols == w - 1, jnp.float32(2.0 / bw), jnp.float32(2.0)))
 
     def nsum(x):
-        xp = jnp.pad(x, ((1, 1), (1, 1)))
-        up_ = xp[:-2, 1:-1]
-        lf = xp[1:-1, :-2]
-        return up_ + xp[2:, 1:-1] + lf + xp[1:-1, 2:] + lrow * up_ + lcol * lf
+        vert = jnp.pad(x, ((1, 1), (0, 0)))
+        up_ = vert[:-2, :]
+        lf = lsh(x)
+        return up_ + vert[2:, :] + lf + rsh(x) + lrow * up_ + lcol * lf
 
     return nsum, 1.0 / diag, diag
 
@@ -358,7 +381,7 @@ def _mg_down_body(u, g, i, *, nu1, th, h, w, wp, hc, h_even, bh, bw,
     red = par & in_dom
     black = (~par) & in_dom
 
-    nsum, inv_d, diag = _level_ops(rows, cols, h, w, bh, bw)
+    nsum, inv_d, diag = _level_ops(rows, cols, h, w, bh, bw, wp)
     for sweep in range(nu1):
         if sweep == 0 and u_is_zero and nu1 > 0:
             u = jnp.where(red, (0.0 - g) * inv_d, u)
@@ -595,7 +618,7 @@ def _mg_up_body(u, g, ec, i, *, nu2, th, h, w, wp, h_even, bh, bw):
         corr = jnp.where(rows == h - 1, alt * (2.0 * bh / gap), corr)
     u = jnp.where(in_dom, u + corr, u)
 
-    nsum, inv_d, _ = _level_ops(rows, cols, h, w, bh, bw)
+    nsum, inv_d, _ = _level_ops(rows, cols, h, w, bh, bw, wp)
     for _ in range(nu2):
         u = jnp.where(red, (nsum(u) - g) * inv_d, u)
         u = jnp.where(black, (nsum(u) - g) * inv_d, u)
@@ -742,10 +765,14 @@ def _pre_strip_kernel(dest_ref, patch_ref, mask_ref, out_ref, *, flags, mixed_ru
 
     me = erode(erode(erode(msk)))
 
-    # forward-difference gradients, zero at the ROI's last column/row
+    # forward-difference gradients, zero at the ROI's last column/row. The
+    # lane fetches go through _lane_neighbors (roll form when w < wp): the
+    # in_dom / cols-range selects mask exactly the lanes where the cyclic
+    # wrap differs from the zero-fill pad.
+    lsh, rsh = _lane_neighbors(w, wp)
+
     def gradx(img):
-        s = jnp.pad(img[:, 1:], ((0, 0), (0, 1)))
-        return jnp.where(cols < w - 1, s - img, 0.0) * in_dom
+        return jnp.where(cols < w - 1, rsh(img) - img, 0.0) * in_dom
 
     def grady(img):
         s = jnp.pad(img[1:, :], ((0, 1), (0, 0)))
@@ -764,9 +791,8 @@ def _pre_strip_kernel(dest_ref, patch_ref, mask_ref, out_ref, *, flags, mixed_ru
     gy = (1.0 - me) * gy_d + me * gy_p
 
     # backward divergence: lap[y, x] = gx[y,x]-gx[y,x-1] + gy[y,x]-gy[y-1,x]
-    lap = (gx - jnp.pad(gx[:, :-1], ((0, 0), (1, 0)))) + (
-        gy - jnp.pad(gy[:-1, :], ((1, 0), (0, 0)))
-    )
+    # (gx is in_dom-masked, so lsh's wrap lane at col 0 is an exact zero)
+    lap = (gx - lsh(gx)) + (gy - jnp.pad(gy[:-1, :], ((1, 0), (0, 0))))
     out_ref[0] = lap[m : m + th, :]
 
 
@@ -908,9 +934,12 @@ def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
 
     me = to_f32(me_ref[:]) * in_dom
 
+    # lane fetches via _lane_neighbors (roll form: w < wpk always here —
+    # wpk covers wp_out + 1 >= w + ...; the selects mask the wrap lanes)
+    lsh, rsh = _lane_neighbors(w, wpk)
+
     def gradx(img):
-        s = jnp.pad(img[:, 1:], ((0, 0), (0, 1)))
-        return jnp.where(cols < w - 1, s - img, 0.0) * in_dom
+        return jnp.where(cols < w - 1, rsh(img) - img, 0.0) * in_dom
 
     def grady(img):
         s = jnp.pad(img[1:, :], ((0, 1), (0, 0)))
@@ -929,9 +958,7 @@ def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
         gy_p = jnp.where(take_d, gy_d, gy_p)
     gx = (1.0 - me) * gx_d + me * gx_p
     gy = (1.0 - me) * gy_d + me * gy_p
-    lap = (gx - jnp.pad(gx[:, :-1], ((0, 0), (1, 0)))) + (
-        gy - jnp.pad(gy[:-1, :], ((1, 0), (0, 0)))
-    )
+    lap = (gx - lsh(gx)) + (gy - jnp.pad(gy[:-1, :], ((1, 0), (0, 0))))
     # Dirichlet boundary subtraction, folded in: interior-adjacent rows/cols
     # subtract the destination's border pixel (row 0 / h-1, col 0 / w-1)
     d_up = jnp.pad(d[:-1, :], ((1, 0), (0, 0)))   # d at row-1
