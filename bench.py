@@ -138,6 +138,30 @@ def main():
     mp = src.shape[0] * src.shape[1] / 1e6
     mps = mp / (serve_ms / 1e3)
     diff_sum, diff_max = accuracy_check(eng)
+    # Accuracy ENVELOPE, not just diff-max: the reference tracked diff SUMS
+    # (44/128 at 300x194, PDF §1.1; vs.py:52-69) — fail loudly on drift that
+    # diff-max <= 1 hides (r01->r02 moved 704 -> 769 untracked).
+    if diff_max > 1 or diff_sum > 1000:
+        raise AssertionError(
+            f"300x194 accuracy envelope violated: diff_max={diff_max} (<=1), "
+            f"diff_sum={diff_sum} (<=1000)")
+    mean_abs_big = None
+    if is_default_size and os.environ.get("SCL_BENCH_ENVELOPE", "1") == "1":
+        # headline-size mean-abs envelope vs cv2 (the <1 LSB north star);
+        # ~30 s of host cv2 time, skippable with SCL_BENCH_ENVELOPE=0
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        golden = cv2.seamlessClone(src, dst, mask.copy(), center, cv2.NORMAL_CLONE)
+        g_d = jax.device_put(golden, eng.device)
+        d = jnp.abs(out.astype(jnp.int32) - g_d.astype(jnp.int32))
+        mean_abs_big = float(jnp.mean(d.astype(jnp.float32)))
+        if mean_abs_big > 0.4:
+            raise AssertionError(
+                f"2400x1552 mean-abs envelope violated: {mean_abs_big} (<=0.4; "
+                f"PERF.md pins 0.397 — direct-solver f32 conditioning shared "
+                f"with the reference's cuBLAS path)")
     parity_max = pallas_parity_check(eng) if solver == "dst_gemm" else None
 
     print(
@@ -160,6 +184,8 @@ def main():
                     "device_memory_bytes": eng.metrics.get("device_memory_bytes", 0),
                     "accuracy_300x194_diff_sum": diff_sum,
                     "accuracy_300x194_diff_max": diff_max,
+                    "accuracy_2400x1552_mean_abs": (
+                        round(mean_abs_big, 4) if mean_abs_big is not None else None),
                     "pallas_vs_xla_on_tpu_diff_max": parity_max,
                     "baseline_mps_v100_fft": round(BASELINE_MPS_V100_2400, 1),
                     "device": str(eng.device),

@@ -17,9 +17,9 @@ from seamlesscloneoptimization_tpu.core.config import (
     NORMAL_CLONE,
     CloneConfig,
 )
-from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+from seamlesscloneoptimization_tpu.core.engine import BoundedCache, SeamlessClone
 
-_engines: dict = {}
+_engines: dict = BoundedCache(maxsize=16)  # LRU: engines hold jit caches
 
 
 def _engine(solver: str, tol: float) -> SeamlessClone:

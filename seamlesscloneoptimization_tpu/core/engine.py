@@ -31,6 +31,36 @@ from seamlesscloneoptimization_tpu.models.pipeline import clone_pipeline
 from seamlesscloneoptimization_tpu.solvers import SOLVERS
 
 
+class BoundedCache(dict):
+    """Insertion/recency-ordered dict evicting the least-recently-used entry
+    past ``maxsize``.
+
+    The reference's SCImage capacity pool carried a 2x bound (imp.h:83); the
+    jit caches here hold whole compiled executables, so a long-lived serving
+    process cycling through many shapes must not retain every one forever.
+    ``maxsize`` executables is plenty for steady-state serving (shape churn
+    past that re-compiles, or re-loads from the persistent compile cache).
+    """
+
+    def __init__(self, maxsize: int = 32):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def get(self, key, default=None):
+        if key in self:
+            val = super().pop(key)
+            super().__setitem__(key, val)  # refresh recency
+            return val
+        return default
+
+    def __setitem__(self, key, value):
+        if key in self:
+            super().pop(key)
+        elif len(self) >= self.maxsize:
+            super().pop(next(iter(self)))  # least recently used
+        super().__setitem__(key, value)
+
+
 def prepare_inputs(mask: np.ndarray, src_shape, dst_shape, center, bucket: int = 0,
                    return_tight: bool = False):
     """Host-side mask prep: binarize + border-zero + bbox + ROI placement.
@@ -125,7 +155,7 @@ class SeamlessClone:
             except Exception:
                 pass
         self.device = device or jax.devices()[0]
-        self._cache: dict[tuple, Any] = {}
+        self._cache: dict[tuple, Any] = BoundedCache(maxsize=32)
         self._last_out = None
         self._held: dict[int, Any] = {}  # id -> weakref of arrays THIS engine made
         self.metrics: dict[str, Any] = {}

@@ -25,7 +25,14 @@ from seamlesscloneoptimization_tpu.models.pipeline import clone_pipeline
 from seamlesscloneoptimization_tpu.parallel.mesh import make_tile_mesh
 from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 
-_cache: dict = {}
+
+def _make_cache():
+    from seamlesscloneoptimization_tpu.core.engine import BoundedCache
+
+    return BoundedCache(maxsize=16)
+
+
+_cache: dict = _make_cache()  # LRU over (mesh, shapes, config) executables
 
 
 def seamless_clone_tiled(

@@ -44,7 +44,23 @@ class TestJaxVsGolden:
         out = seamless_clone(airplane, sky, full_mask.copy(), (800, 150))
         s, m = diff_stats(golden, out)
         assert m <= 1, f"diff max {m}"
-        assert s <= 1500, f"diff sum {s}"
+        assert s <= 1000, f"diff sum {s}"
+
+    def test_accuracy_envelope_bench_config(self, airplane, sky, full_mask):
+        """Pin the ACCURACY ENVELOPE of the bench serve config (bf16_3x +
+        folded DST): diff-max <= 1 alone hides sub-LSB drift — BENCH_r01 ->
+        r02 moved 300x194 diff_sum 704 -> 769 with nothing tracking it
+        (VERDICT r2 weak #4). The reference published diff SUMS at this size
+        (44 FFT / 128 GEMM, PDF §1.1; vs.py:52-69 reports sum) — bound ours
+        at 1000 so a regression that diff-max misses still fails loudly."""
+        golden = cv2.seamlessClone(airplane, sky, full_mask.copy(), (800, 150),
+                                   cv2.NORMAL_CLONE)
+        eng = SeamlessClone(CloneConfig(solver="dst_gemm", precision="high",
+                                        dst_folded=True))
+        out = eng.run(airplane, sky, full_mask.copy(), (800, 150))
+        s, m = diff_stats(golden, np.asarray(out))
+        assert m <= 1, f"diff max {m}"
+        assert s <= 1000, f"diff sum {s} (bench-config envelope)"
 
 
 class TestEngine:
