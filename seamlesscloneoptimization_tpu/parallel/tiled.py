@@ -69,7 +69,8 @@ def _neighbor_sum_padded(up: jnp.ndarray) -> jnp.ndarray:
     return up[:, :-2, 1:-1] + up[:, 2:, 1:-1] + up[:, 1:-1, :-2] + up[:, 1:-1, 2:]
 
 
-@partial(jax.jit, static_argnames=("mesh", "true_hw", "max_iters", "check_every", "halo"))
+@partial(jax.jit, static_argnames=("mesh", "true_hw", "max_iters", "check_every",
+                                   "halo", "use_pallas", "overlap", "interpret"))
 def solve_redblack_tiled(
     g: jnp.ndarray,
     mesh: Mesh,
@@ -78,6 +79,9 @@ def solve_redblack_tiled(
     max_iters: int = 20000,
     check_every: int = 50,
     halo: int = 4,
+    use_pallas: bool | None = None,
+    overlap: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Distributed red-black solve of A u = g on a (ty, tx) tile mesh.
 
@@ -89,6 +93,23 @@ def solve_redblack_tiled(
     halo//2 full red-black sweeps; owned cells are exact because the
     staleness wavefront advances one layer per half-sweep and never crosses
     the ghost band.
+
+    use_pallas (None = auto on the TPU backend): per-shard sweeps run as the
+    strip-tiled Mosaic kernel (rb_sweeps_tile_pallas — global-coordinate
+    masks, bitwise-equal owned cells) instead of XLA stencils, so each tile
+    computes at the single-chip speed-of-light path. ``interpret`` forces
+    the same kernel through the Pallas interpreter (CPU-mesh tests).
+
+    overlap: interior-first schedule (SURVEY §2.18 item 4) — the deep
+    interior (cells >= 2s from the tile edge, which need no ghost data) is
+    swept with NO data dependence on the ppermutes, so XLA's latency-hiding
+    scheduler can run the halo exchange concurrently; four thin rim bands
+    consume the exchanged ghosts afterwards. Bitwise-equal to the
+    non-overlap path (every kept cell's dependency cone sees identical
+    values through identical arithmetic); costs ~2(th+tw)*(k+4s) redundant
+    band cells (a few % at production tiles) to take the exchange off the
+    critical path — the win regime is latency-bound small tiles, see
+    docs/SCALING.md.
     """
     if halo < 2 or halo % 2:
         raise ValueError("halo must be an even integer >= 2")
@@ -106,6 +127,11 @@ def solve_redblack_tiled(
     k -= k % 2
     s = k // 2  # full sweeps per exchange
     Ht, Wt = true_hw if true_hw is not None else (H, W)
+    if use_pallas is None:  # auto: Mosaic on the chip, XLA elsewhere
+        use_pallas = jax.default_backend() == "tpu" or interpret
+    pallas_eff = use_pallas
+    # interior-first needs a non-empty deep interior (rim width 2s per side)
+    overlap = overlap and th > 4 * s and tw > 4 * s
 
     def local(g_loc):
         iy = jax.lax.axis_index("ty")
@@ -113,33 +139,73 @@ def solve_redblack_tiled(
         r0 = iy * th
         c0 = ix * tw
 
-        # masks over the PADDED (th+2k, tw+2k) tile, in global coordinates
-        rows = (r0 - k) + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * k, tw + 2 * k), 0)
-        cols = (c0 - k) + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * k, tw + 2 * k), 1)
-        in_dom = ((rows >= 0) & (rows < Ht) & (cols >= 0) & (cols < Wt))[None]
-        par = ((rows + cols) % 2 == 0)[None]
-        red = par & in_dom
-        black = (~par) & in_dom
+        def region_masks(hl, wl, org_r, org_c):
+            """(red, black) select masks in GLOBAL coordinates for a local
+            (hl, wl) region whose (0, 0) sits at global (org_r, org_c)."""
+            rows = org_r + jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0)
+            cols = org_c + jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1)
+            in_dom = ((rows >= 0) & (rows < Ht) & (cols >= 0) & (cols < Wt))[None]
+            par = ((rows + cols) % 2 == 0)[None]
+            return par & in_dom, (~par) & in_dom
+
+        def sweep_region(x, gx, org_r, org_c):
+            """s full select-form sweeps on a region (Pallas or XLA body)."""
+            if pallas_eff:
+                from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+                    rb_sweeps_tile_pallas)
+
+                return rb_sweeps_tile_pallas(
+                    x, gx, s, jnp.stack([org_r, org_c]).astype(jnp.int32),
+                    (Ht, Wt), interpret=interpret)
+            red, black = region_masks(x.shape[1], x.shape[2], org_r, org_c)
+            for _ in range(s):
+                for color in (red, black):
+                    upd = (_neighbor_sum_padded(
+                        jnp.pad(x, ((0, 0), (1, 1), (1, 1)))) - gx) * 0.25
+                    x = jnp.where(color, upd, x)
+            return x
 
         # RHS: mask the owned tile, then exchange its halo ONCE (g is static)
-        own = in_dom[:, k : k + th, k : k + tw]
+        rows_o = r0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+        cols_o = c0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+        own = ((rows_o >= 0) & (rows_o < Ht) & (cols_o >= 0) & (cols_o < Wt))[None]
         g_loc = jnp.where(own, g_loc, 0.0)
         gp = halo_exchange(g_loc, ty, tx, k)
         gnorm = jnp.max(jnp.abs(g_loc))
         gnorm = jax.lax.pmax(jax.lax.pmax(gnorm, "ty"), "tx")
         gnorm = jnp.maximum(gnorm, 1e-30)
 
-        def half_sweep(up, color):
-            upd = (_neighbor_sum_padded(jnp.pad(up, ((0, 0), (1, 1), (1, 1)))) - gp) * 0.25
-            return jnp.where(color, upd, up)  # select form, see jacobi.redblack_sweep
-
         def ca_round(u):
             """One exchange + s full sweeps on the ghosted tile."""
             up = halo_exchange(u, ty, tx, k)
-            for _ in range(s):
-                up = half_sweep(up, red)
-                up = half_sweep(up, black)
+            up = sweep_region(up, gp, r0 - k, c0 - k)
             return up[:, k : k + th, k : k + tw]
+
+        def ca_round_overlap(u):
+            """Interior-first: sweep the ghost-free interior concurrently
+            with the ppermutes, then finish the rim from four bands."""
+            w_ = 2 * s            # rim width: cells < 2s from the tile edge
+            b = k + 4 * s         # band: k ghosts + w_ rim + 2s cone margin
+            ui = sweep_region(u, g_loc, r0, c0)       # no ppermute dependence
+            up = halo_exchange(u, ty, tx, k)
+            top = sweep_region(up[:, :b, :], gp[:, :b, :], r0 - k, c0 - k)
+            bot = sweep_region(up[:, -b:, :], gp[:, -b:, :],
+                               r0 + th + k - b, c0 - k)
+            lef = sweep_region(up[:, :, :b], gp[:, :, :b], r0 - k, c0 - k)
+            rig = sweep_region(up[:, :, -b:], gp[:, :, -b:],
+                               r0 - k, c0 + tw + k - b)
+            mid = jnp.concatenate([
+                lef[:, k + w_ : k + th - w_, k : k + w_],
+                ui[:, w_ : th - w_, w_ : tw - w_],
+                rig[:, k + w_ : k + th - w_, b - k - w_ : b - k],
+            ], axis=2)
+            return jnp.concatenate([
+                top[:, k : k + w_, k : k + tw],
+                mid,
+                bot[:, b - k - w_ : b - k, k : k + tw],
+            ], axis=1)
+
+        step = ca_round_overlap if overlap else ca_round
 
         def res_norm(u):
             up = halo_exchange(u, ty, tx, 1)
@@ -155,7 +221,7 @@ def solve_redblack_tiled(
 
         def body(state):
             u, it = state
-            u = jax.lax.fori_loop(0, rounds_per_check, lambda _, x: ca_round(x), u)
+            u = jax.lax.fori_loop(0, rounds_per_check, lambda _, x: step(x), u)
             return u, it + rounds_per_check * s
 
         u0 = jnp.zeros_like(g_loc)
@@ -163,7 +229,11 @@ def solve_redblack_tiled(
         return u
 
     spec = P(None, "ty", "tx")
-    return shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)(g)
+    # check_vma=False: the Pallas interpreter does not propagate vma through
+    # in-kernel control flow (the CPU-mesh test path); the body is uniform in
+    # its mesh axes by construction
+    return shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                     check_vma=False)(g)
 
 
 def solve_multigrid_sharded(

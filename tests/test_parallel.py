@@ -98,6 +98,58 @@ class TestTiledSolvers:
         assert float(jnp.abs(u[:, 30:, :]).max()) == 0.0
         assert float(jnp.abs(u[:, :, 61:]).max()) == 0.0
 
+    @pytest.mark.parametrize("halo", [2, 4, 8])
+    def test_pallas_tile_sweeps_bitwise_equal(self, mesh24, halo):
+        """Per-shard Mosaic sweeps (rb_sweeps_tile_pallas via the interpreter)
+        must be BITWISE equal to the XLA tile body — the distributed program
+        runs the same kernels as the single-chip path (VERDICT r2 missing #2)."""
+        g = _rand_g(32, 64, seed=6)
+        u_xla = solve_redblack_tiled(g, mesh24, tol=1e-4, halo=halo,
+                                     use_pallas=False)
+        u_pl = solve_redblack_tiled(g, mesh24, tol=1e-4, halo=halo,
+                                    use_pallas=True, interpret=True)
+        assert bool(jnp.all(u_pl == u_xla))
+
+    def test_pallas_tile_sweeps_padded_domain(self, mesh24):
+        """Global-coordinate masks in the kernel: padded cells stay pinned."""
+        g_true = _rand_g(30, 61, seed=7)
+        g = jnp.zeros((3, 32, 64), jnp.float32).at[:, :30, :61].set(g_true)
+        u_xla = solve_redblack_tiled(g, mesh24, true_hw=(30, 61), tol=1e-5,
+                                     max_iters=40000, use_pallas=False)
+        u_pl = solve_redblack_tiled(g, mesh24, true_hw=(30, 61), tol=1e-5,
+                                    max_iters=40000, use_pallas=True,
+                                    interpret=True)
+        assert bool(jnp.all(u_pl == u_xla))
+        assert float(jnp.abs(u_pl[:, 30:, :]).max()) == 0.0
+        assert float(jnp.abs(u_pl[:, :, 61:]).max()) == 0.0
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_overlap_schedule_bitwise_equal(self, mesh24, use_pallas):
+        """Interior-first halo overlap (SURVEY §2.18 item 4) is a pure
+        reschedule: bitwise-equal results, ghost exchange off the critical
+        path."""
+        g = _rand_g(48, 96, seed=8)
+        kw = dict(tol=1e-4, halo=4, use_pallas=use_pallas,
+                  interpret=use_pallas)
+        base = solve_redblack_tiled(g, mesh24, overlap=False, **kw)
+        over = solve_redblack_tiled(g, mesh24, overlap=True, **kw)
+        assert bool(jnp.all(over == base))
+
+    def test_overlap_padded_domain_with_truehw(self, mesh24):
+        g_true = _rand_g(45, 90, seed=9)
+        g = jnp.zeros((3, 48, 96), jnp.float32).at[:, :45, :90].set(g_true)
+        base = solve_redblack_tiled(g, mesh24, true_hw=(45, 90), tol=1e-5,
+                                    max_iters=40000, overlap=False,
+                                    use_pallas=False)
+        over = solve_redblack_tiled(g, mesh24, true_hw=(45, 90), tol=1e-5,
+                                    max_iters=40000, overlap=True,
+                                    use_pallas=False)
+        assert bool(jnp.all(over == base))
+        exact = solve_dst_gemm(g_true)
+        rel = float(jnp.abs(over[:, :45, :90] - exact).max()
+                    / jnp.abs(exact).max())
+        assert rel < 1e-2, rel
+
     def test_multigrid_sharded_matches_exact(self, mesh24):
         g = _rand_g(64, 128, seed=4)
         u = solve_multigrid_sharded(g, mesh24, tol=1e-5)
