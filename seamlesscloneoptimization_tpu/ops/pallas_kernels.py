@@ -153,6 +153,37 @@ def mg_geometry(h: int, w: int, th: int | None = None) -> tuple[int, int, int]:
     return th, _round_up(h, th), wp
 
 
+def mg_geometry_t(h: int, w: int, wp_min: int = 0,
+                  th: int | None = None) -> tuple[int, int, int, int]:
+    """(th, hp, wp, hp2) for the TRANSPOSE-FUSED level chain (vcycle_t).
+
+    Differences from mg_geometry: th is restricted to {16, 32, 64, 128, 256}
+    so th//2 divides 128 (the half-height arrays rh / e_lane and the coarse
+    level's lane extent all round to hp2 = round_up(hp//2, 128), and every
+    blocked spec that touches them needs th//2 | 128); wp can be raised by
+    ``wp_min`` — the COARSE level of vcycle_t inherits the fine level's hp2
+    as its lane extent so the transposed transfer kernels read/write whole
+    blocks with no relayout (extra lanes are exact zeros). Default th = 128:
+    the mg_geometry sweep measured 128/160/192 within tunnel noise at both
+    headline and 8K widths (docs/PERF.md 2026-08-19).
+    """
+    import os
+
+    wp = max(_round_up(w, 128), wp_min)
+    if th is None:
+        th_env = os.environ.get("SCL_MG_TH")
+        th = int(th_env) if th_env else 128
+        th = max(16, min(256, 1 << (th.bit_length() - 1)))  # pow2 in [16,256]
+        th = min(th, _round_up(max(h, 16), 16))
+        if th & (th - 1):  # h-clamp broke pow2: round down again
+            th = 1 << (th.bit_length() - 1)
+        th = max(16, th)
+    assert th in (16, 32, 64, 128, 256), th
+    hp = _round_up(h, th)
+    hp2 = _round_up(hp // 2, 128)
+    return th, hp, wp, hp2
+
+
 def _ghost_specs(th: int, hp: int, wp: int):
     """(center, top-ghost, bottom-ghost) block specs for a (C, hp, wp) input."""
     nb = hp // _M  # the ghost specs view the array as M-row blocks
@@ -557,13 +588,16 @@ def _mg_down_kernel_b0(gc, gt, gb, uo_ref, rh_ref, *, nu1, th, h, w, wp, hc,
 
 
 @partial(jax.jit, static_argnames=("nu1", "bh", "bw", "interpret", "th", "blocked",
-                                   "padded_io", "true_hw", "u_zero"))
+                                   "padded_io", "true_hw", "u_zero", "geom",
+                                   "rh_rows"))
 def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
                    bh: float = 1.0, bw: float = 1.0, interpret: bool = False,
                    th: int | None = None, blocked: bool | None = None,
                    padded_io: bool = False,
                    true_hw: tuple[int, int] | None = None,
-                   u_zero: bool = False):
+                   u_zero: bool = False,
+                   geom: tuple[int, int, int] | None = None,
+                   rh_rows: int | None = None):
     """Fused V-cycle descent: nu1 sweeps + residual + row-restrict, one pass.
 
     (C, H, W) f32 -> (swept u (C, H, W), row-restricted residual
@@ -584,6 +618,13 @@ def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
     a V-cycle) — ``u`` may be None; the kernel synthesizes the zero window
     in VMEM instead of DMA'ing a zeros array, dropping a third of the
     descent's input HBM traffic.
+
+    ``geom=(th, hp, wp)`` overrides mg_geometry for the padded_io path (the
+    vcycle_t chain pins its own rounded geometry, with lane extents
+    inherited across levels); ``rh_rows`` over-allocates the residual
+    output's row dim (multiple of th//2 — rows beyond hp//2 stay UNWRITTEN,
+    for consumers that read whole 128-row blocks and mask, like
+    mg_restrict_t_pallas).
     """
     assert 0 <= nu1 <= 2, nu1
     if blocked is None:
@@ -592,9 +633,11 @@ def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
         assert true_hw is not None
         h, w = true_hw
         c = g.shape[0]
-        th, hp, wp = mg_geometry(h, w, th)
+        th, hp, wp = geom if geom is not None else mg_geometry(h, w, th)
         assert g.shape == (c, hp, wp), (g.shape, (c, hp, wp))
         assert u_zero or u.shape == (c, hp, wp), (u.shape, (c, hp, wp))
+        rh_rows = hp // 2 if rh_rows is None else rh_rows
+        assert rh_rows >= hp // 2 and rh_rows % (th // 2) == 0, (rh_rows, th)
         hc = (h - 1) // 2
         ctr, top, bot = _ghost_specs(th, hp, wp)
         out_specs = [
@@ -603,7 +646,7 @@ def mg_down_pallas(u: jnp.ndarray | None, g: jnp.ndarray, nu1: int = 1,
         ]
         out_shape = [
             jax.ShapeDtypeStruct((c, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((c, hp // 2, wp), jnp.float32),
+            jax.ShapeDtypeStruct((c, rh_rows, wp), jnp.float32),
         ]
         kw = dict(nu1=nu1, th=th, h=h, w=w, wp=wp, hc=hc,
                   h_even=(h % 2 == 0), bh=bh, bw=bw)
@@ -756,12 +799,13 @@ def _coarse_halo_spec(thc: int, wp: int):
 
 
 @partial(jax.jit, static_argnames=("nu2", "bh", "bw", "interpret", "th", "blocked",
-                                   "padded_io", "true_hw"))
+                                   "padded_io", "true_hw", "geom"))
 def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
                  nu2: int = 2, bh: float = 1.0, bw: float = 1.0,
                  interpret: bool = False, th: int | None = None,
                  blocked: bool | None = None, padded_io: bool = False,
-                 true_hw: tuple[int, int] | None = None) -> jnp.ndarray:
+                 true_hw: tuple[int, int] | None = None,
+                 geom: tuple[int, int, int] | None = None) -> jnp.ndarray:
     """Fused V-cycle ascent: row-prolong of the lane-prolonged coarse
     correction + add + nu2 sweeps, one pass.
 
@@ -771,8 +815,10 @@ def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
 
     ``padded_io=True`` (forces the blocked-ghost kernels regardless of
     ``blocked``/env): u/g are (C, hp, wp) rounded per mg_geometry(*true_hw),
-    e_lane is (C, hp//2, wp), all exact zeros outside their true domains;
-    the output stays rounded (see mg_down_pallas).
+    e_lane is (C, >= hp//2, wp) (rows [hc, ..) zero or ignored — the window
+    assembly zeroes past hc), all exact zeros outside their true domains;
+    the output stays rounded (see mg_down_pallas). ``geom`` overrides
+    mg_geometry like mg_down_pallas's.
     """
     assert 0 <= nu2 <= 4, nu2
     if blocked is None:
@@ -781,12 +827,15 @@ def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
         assert true_hw is not None
         h, w = true_hw
         c = u.shape[0]
-        th, hp, wp = mg_geometry(h, w, th)
+        th, hp, wp = geom if geom is not None else mg_geometry(h, w, th)
         hc = (h - 1) // 2
         assert u.shape == (c, hp, wp) and g.shape == (c, hp, wp)
-        assert e_lane.shape == (c, hp // 2, wp), (e_lane.shape, (c, hp // 2, wp))
+        e_rows = e_lane.shape[1]
+        assert (e_lane.shape[0] == c and e_lane.shape[2] == wp
+                and e_rows >= hp // 2 and e_rows % (th // 2) == 0), (
+            e_lane.shape, (c, hp // 2, wp))
         ctr, top, bot = _ghost_specs(th, hp, wp)
-        ec_ctr, ec_top, ec_bot = _ghost_specs(th // 2, hp // 2, wp)
+        ec_ctr, ec_top, ec_bot = _ghost_specs(th // 2, e_rows, wp)
         return pl.pallas_call(
             partial(_mg_up_kernel_b, nu2=nu2, th=th, h=h, w=w, wp=wp, hc=hc,
                     h_even=(h % 2 == 0), bh=bh, bw=bw),
@@ -834,6 +883,128 @@ def mg_up_pallas(u: jnp.ndarray, g: jnp.ndarray, e_lane: jnp.ndarray,
         interpret=interpret,
     )(up, gp, ep)
     return out[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Transpose-fused lane-direction transfers (the vcycle_t chain)
+# ---------------------------------------------------------------------------
+#
+# Mosaic cannot lower lane-direction stride-2 decimation/interleave, which is
+# why the plain fused levels leave the lane half of the separable transfers
+# to XLA — measured ~7 ms/solve of relayout glue at 8K (T(2,128) reshape
+# relayouts + layout copies, tools/tpu_queue.md §2). These kernels remove it:
+# transpose each 128-lane slab IN VMEM (supported, roofline — see
+# transpose_pallas) and do the w-direction restrict/prolong as SUBLANE
+# reshape/stack ops on the transposed block. The coarse level then lives in
+# TRANSPOSED orientation and the V-cycle alternates orientation per level
+# (solvers/multigrid.py vcycle_t) — every level transition is exactly one
+# read + one write of the half-height intermediate, nothing else.
+
+
+def _restrict_t_kernel(rh_ref, out_ref, *, w, wc, hc, bw, out_rows):
+    """One (128-row, wp) slab of rh -> (out_rows, 128) transposed+restricted.
+
+    out[jw, l] = 4 * restrict_w(rh)[row j*128+l, jw] — the x4 coarse-RHS
+    scale folded into the (1, 2, 1) weights (exact: power-of-2 scaling
+    commutes with the rounding of each add, so this is bitwise
+    4*_restrict_axis(...) in the same association order).
+    """
+    j = pl.program_id(1)
+    t = jnp.transpose(rh_ref[0], (1, 0))          # (wp, 128): sublanes = w
+    wp = t.shape[0]
+    pairs = t.reshape(wp // 2, 2, 128)
+    a, b = pairs[:, 0, :], pairs[:, 1, :]          # rh cols 2j / 2j+1
+    out = (a[:wc] + 2.0 * b[:wc]) + a[1 : wc + 1]
+    if w % 2 == 0:
+        gap = 2.0 + bw
+        edge = ((a[wc - 1] + 2.0 * b[wc - 1])
+                + (2.0 * (1.0 + bw) / gap) * a[wc]) + (2.0 * bw / gap) * b[wc]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (wc, 128), 0)
+        out = jnp.where(sub == wc - 1, edge[None], out)
+    # lanes beyond the true coarse height carry rh garbage (unwritten rows /
+    # beyond-hc restrict leftovers) — select them to exact zero
+    lane = j * 128 + jax.lax.broadcasted_iota(jnp.int32, (out_rows, 128), 1)
+    full = jnp.pad(out, ((0, out_rows - wc), (0, 0)))
+    out_ref[0] = jnp.where(lane < hc, full, 0.0)
+
+
+def mg_restrict_t_pallas(rh: jnp.ndarray, h: int, w: int, bw: float,
+                         out_rows: int, interpret: bool = False) -> jnp.ndarray:
+    """4x lane-restriction of the row-restricted residual, emitted TRANSPOSED.
+
+    rh: (C, hp2, wp) from mg_down_pallas(padded_io, rh_rows=hp2) — rows
+    [0, hc) hold the row-restricted residual, lanes [0, w) valid (rows
+    beyond hp//2 may be uninitialized; they are masked in-kernel). Returns
+    (C, out_rows, hp2): the coarse RHS 4*restrict(r) of the (hc, wc) grid in
+    TRANSPOSED orientation at the origin, exact zeros elsewhere — the input
+    of the coarse vcycle_t level, whose rounded geometry is
+    (out_rows = round_up(wc, th_c), lane extent = hp2).
+    """
+    c, hp2, wp = rh.shape
+    assert hp2 % 128 == 0 and wp % 128 == 0, (hp2, wp)
+    hc, wc = (h - 1) // 2, (w - 1) // 2
+    assert wp >= 2 * wc + 2 and out_rows >= wc, (wp, wc, out_rows)
+    return pl.pallas_call(
+        partial(_restrict_t_kernel, w=w, wc=wc, hc=hc, bw=bw,
+                out_rows=out_rows),
+        grid=(c, hp2 // 128),
+        in_specs=[pl.BlockSpec((1, 128, wp), lambda ci, j: (ci, j, 0))],
+        out_specs=pl.BlockSpec((1, out_rows, 128), lambda ci, j: (ci, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((c, out_rows, hp2), jnp.float32),
+        compiler_params=_vmem_params(128, wp, interpret),
+        interpret=interpret,
+    )(rh)
+
+
+def _prolong_t_kernel(ec_ref, out_ref, *, w, wc, bw, wp):
+    """One (hp_c, 128)-lane window of ec_t -> (128, wp) prolonged fine rows.
+
+    Sublane-direction bilinear interleave of the coarse values (the
+    transposed image of multigrid._prolong_axis), then transpose back to
+    natural orientation. Lanes of the input beyond the true coarse height
+    are exact zeros by the padded-space invariant, so the matching output
+    rows come out zero with no masking.
+    """
+    e = ec_ref[0]                                   # (hp_c, 128): sublanes = wc
+    ep = jnp.pad(e, ((1, 1), (0, 0)))               # zero Dirichlet pads
+    mids = 0.5 * (ep[: wc + 1] + ep[1 : wc + 2])
+    pairs = jnp.stack([mids[:wc], e[:wc]], axis=1).reshape(2 * wc, 128)
+    if w % 2 == 1:
+        res = jnp.concatenate([pairs, mids[wc : wc + 1]], axis=0)
+    else:
+        gap = 2.0 + bw
+        last = e[wc - 1 : wc]
+        res = jnp.concatenate(
+            [pairs[: w - 2], last * ((1.0 + bw) / gap), last * (bw / gap)],
+            axis=0)
+    out = jnp.pad(res, ((0, wp - w), (0, 0)))
+    out_ref[0] = jnp.transpose(out, (1, 0))
+
+
+def mg_prolong_t_pallas(ec_t: jnp.ndarray, h: int, w: int, bw: float,
+                        out_rows: int, wp: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Lane-prolongation of the TRANSPOSED coarse correction, back to natural.
+
+    ec_t: (C, hp_c, hp2) — the coarse vcycle_t solution, logical (wc, hc) at
+    the origin, exact zeros outside. Returns (C, out_rows, wp) f32 =
+    multigrid._prolong_axis(ec, w, bw) zero-extended — mg_up_pallas's e_lane
+    operand (out_rows = hp2 >= hp//2 rows, multiple of 128).
+    """
+    c, hp_c, lanes = ec_t.shape
+    wc = (w - 1) // 2
+    assert lanes % 128 == 0 and out_rows % 128 == 0, (lanes, out_rows)
+    assert lanes >= out_rows, (lanes, out_rows)
+    assert hp_c >= wc and wp >= w, (hp_c, wc, wp, w)
+    return pl.pallas_call(
+        partial(_prolong_t_kernel, w=w, wc=wc, bw=bw, wp=wp),
+        grid=(c, out_rows // 128),
+        in_specs=[pl.BlockSpec((1, hp_c, 128), lambda ci, j: (ci, 0, j))],
+        out_specs=pl.BlockSpec((1, 128, wp), lambda ci, j: (ci, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, out_rows, wp), jnp.float32),
+        compiler_params=_vmem_params(128, wp, interpret),
+        interpret=interpret,
+    )(ec_t)
 
 
 # ---------------------------------------------------------------------------

@@ -360,6 +360,61 @@ def vcycle_p(u_p: jnp.ndarray, g_p: jnp.ndarray, h: int, w: int,
                         true_hw=(h, w))
 
 
+def vcycle_t(u_p: jnp.ndarray, g_p: jnp.ndarray, h: int, w: int,
+             nu1: int = 1, nu2: int = 2, coarsest: int = 63,
+             interpret: bool = False, bh: float = 1.0, bw: float = 1.0,
+             u_zero: bool = False,
+             geom: tuple[int, int, int, int] | None = None) -> jnp.ndarray:
+    """One V-cycle in ALTERNATING-ORIENTATION rounded space.
+
+    The transpose-fused chain: each level transition is exactly two
+    roofline Pallas passes — mg_restrict_t_pallas emits the x4 coarse RHS
+    TRANSPOSED (lane restriction becomes a sublane op after an in-VMEM
+    transpose), and the coarse level solves the transposed system (the
+    operator is symmetric under transpose with bh/bw swapped), so
+    mg_prolong_t_pallas's inverse transpose lands the correction back in
+    natural orientation. This removes ALL the XLA lane-direction transfer
+    glue of vcycle_p (~7 ms/solve of T(2,128) reshape relayouts + layout
+    copies at 3x2798x3798 — tools/tpu_queue.md §2, the round-2 XProf
+    breakdown of the 8K gap).
+
+    u_p/g_p: (C, hp, wp) per mg_geometry_t(h, w), exact zeros outside the
+    true (h, w) domain; geom carries (th, hp, wp, hp2) for this level (lane
+    extents are inherited downward: the coarse level's wp IS this level's
+    hp2, so the transposed transfers read/write whole blocks).
+    """
+    from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+        mg_down_pallas, mg_geometry_t, mg_prolong_t_pallas,
+        mg_restrict_t_pallas, mg_up_pallas)
+
+    c = g_p.shape[0]
+    th, hp, wp, hp2 = geom if geom is not None else mg_geometry_t(h, w)
+    small = min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1
+    if small or not _fused_level(h, w, nu1, nu2, True, interpret):
+        u = vcycle(u_p[:, :h, :w], g_p[:, :h, :w], nu1, nu2, coarsest,
+                   True, interpret, bh, bw, u_zero=u_zero)
+        return _pad_to(u, u_p.shape)
+    hc, bh_c = _coarsen(h, bh)
+    wc, bw_c = _coarsen(w, bw)
+    u_s, rh = mg_down_pallas(None if u_zero else u_p, g_p, nu1, bh=bh, bw=bw,
+                             interpret=interpret, blocked=True, padded_io=True,
+                             true_hw=(h, w), u_zero=u_zero, geom=(th, hp, wp),
+                             rh_rows=hp2)
+    # child level: logical (wc, hc) in TRANSPOSED orientation; its lane
+    # extent inherits hp2 (>= round_up(hc, 128) always), betas swap
+    cgeom = mg_geometry_t(wc, hc, wp_min=hp2)
+    cth, chp, cwp, chp2 = cgeom
+    rc_t = mg_restrict_t_pallas(rh, h, w, bw, out_rows=chp, interpret=interpret)
+    ec_t = vcycle_t(jnp.zeros((c, chp, cwp), g_p.dtype), rc_t, wc, hc,
+                    nu1, nu2, coarsest, interpret, bw_c, bh_c, u_zero=True,
+                    geom=cgeom)
+    e_lane = mg_prolong_t_pallas(ec_t, h, w, bw, out_rows=hp2, wp=wp,
+                                 interpret=interpret)
+    return mg_up_pallas(u_s, g_p, e_lane, nu2, bh=bh, bw=bw,
+                        interpret=interpret, blocked=True, padded_io=True,
+                        true_hw=(h, w), geom=(th, hp, wp))
+
+
 def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 63,
         use_pallas: bool = False, interpret: bool = False,
         bh: float = 1.0, bw: float = 1.0) -> jnp.ndarray:
@@ -440,7 +495,21 @@ def solve_multigrid(
         # which cuts the program (and the minutes-long tunnel compile of the
         # unrolled hierarchy) by ~cycles x at identical arithmetic
         c, h, w = g.shape
-        if padded and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+        if padded == "t" and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+            # alternating-orientation rounded space (vcycle_t): the level
+            # transfers run entirely as transpose-fused Pallas passes
+            from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+                mg_geometry_t)
+
+            geom = mg_geometry_t(h, w)
+            _, hp, wp, _ = geom
+            g_p = _pad_to(g, (c, hp, wp))
+            u = jax.lax.fori_loop(
+                0, cycles,
+                lambda _, x: vcycle_t(x, g_p, h, w, nu1, nu2, coarsest,
+                                      interpret=interpret, geom=geom),
+                _pad_to(u, (c, hp, wp)))[:, :h, :w]
+        elif padded and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
             # rounded-space iteration: ONE pad in, ONE crop out for the
             # whole solve (see vcycle_p) instead of per-launch pad/crop
             from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
@@ -502,10 +571,19 @@ def solve_multigrid(
     c, h, w = g.shape
     if padded and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
         # rounded-space while_loop: the residual check crops (1 pass) but
-        # every V-cycle saves the per-launch pad/crop passes (vcycle_p)
-        from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_geometry
+        # every V-cycle saves the per-launch pad/crop passes (vcycle_p /
+        # vcycle_t for padded == "t")
+        if padded == "t":
+            from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+                mg_geometry_t)
 
-        _, hp, wp = mg_geometry(h, w)
+            geom = mg_geometry_t(h, w)
+            _, hp, wp, _ = geom
+        else:
+            from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+                mg_geometry)
+
+            _, hp, wp = mg_geometry(h, w)
         g_p = _pad_to(g, (c, hp, wp))
 
         def cond_p(state):
@@ -515,9 +593,13 @@ def solve_multigrid(
 
         def body_p(state):
             u_p, it = state
-            return (vcycle_p(u_p, g_p, h, w, nu1, nu2, coarsest,
-                             use_pallas=use_pallas, interpret=interpret),
-                    it + 1)
+            if padded == "t":
+                nxt = vcycle_t(u_p, g_p, h, w, nu1, nu2, coarsest,
+                               interpret=interpret, geom=geom)
+            else:
+                nxt = vcycle_p(u_p, g_p, h, w, nu1, nu2, coarsest,
+                               use_pallas=use_pallas, interpret=interpret)
+            return nxt, it + 1
 
         u_p, it = jax.lax.while_loop(cond_p, body_p,
                                      (_pad_to(u, (c, hp, wp)), jnp.int32(0)))

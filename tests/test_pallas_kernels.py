@@ -631,6 +631,85 @@ class TestFusedMultigridKernels:
         assert np.array_equal(np.asarray(uw), np.asarray(uz))
         assert np.array_equal(np.asarray(rw), np.asarray(rz))
 
+    @pytest.mark.parametrize("hw,beta", CASES)
+    def test_restrict_t_matches_xla(self, hw, beta):
+        """mg_restrict_t_pallas == transpose(4 * _restrict_axis(.)) to 1 ulp
+        (the x4 folds into the (1,2,1) weights exactly — power-of-2 scaling
+        commutes with rounding — but XLA's FMA contraction choices differ
+        between the two expression shapes on the even-w edge row)."""
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            _round_up, mg_restrict_t_pallas)
+        from seamlesscloneoptimization_tpu.solvers.multigrid import _restrict_axis
+
+        h, w = hw
+        _, bw = beta
+        hc, wc = (h - 1) // 2, (w - 1) // 2
+        if hc < 1 or wc < 1:
+            pytest.skip("too small")
+        rh = _rand((3, hc, w), seed=21)
+        hp2 = _round_up(hc, 128)
+        wp = _round_up(w, 128)
+        rh_p = jnp.asarray(np.pad(np.asarray(rh),
+                                  ((0, 0), (0, hp2 - hc), (0, wp - w))))
+        out_rows = _round_up(wc, 16)
+        got = np.asarray(mg_restrict_t_pallas(rh_p, h, w, bw,
+                                              out_rows=out_rows,
+                                              interpret=True))
+        want = np.asarray(4.0 * _restrict_axis(rh, bw))  # (3, hc, wc)
+        assert got.shape == (3, out_rows, hp2)
+        np.testing.assert_allclose(got[:, :wc, :hc], np.swapaxes(want, 1, 2),
+                                   rtol=3e-6, atol=1e-3)
+        assert not got[:, wc:, :].any() and not got[:, :, hc:].any()
+
+    @pytest.mark.parametrize("hw,beta", CASES)
+    def test_prolong_t_matches_xla(self, hw, beta):
+        """mg_prolong_t_pallas == _prolong_axis(transpose(.)) bitwise."""
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            _round_up, mg_prolong_t_pallas)
+        from seamlesscloneoptimization_tpu.solvers.multigrid import _prolong_axis
+
+        h, w = hw
+        _, bw = beta
+        hc, wc = (h - 1) // 2, (w - 1) // 2
+        if hc < 1 or wc < 1:
+            pytest.skip("too small")
+        ec = _rand((3, hc, wc), seed=22, scale=5.0)
+        hp_c = _round_up(wc, 16)
+        lanes = _round_up(hc, 128)
+        # transposed coarse solution at the origin, zeros outside
+        ec_t = jnp.asarray(np.pad(np.swapaxes(np.asarray(ec), 1, 2),
+                                  ((0, 0), (0, hp_c - wc), (0, lanes - hc))))
+        out_rows = lanes
+        wp = _round_up(w, 128)
+        got = np.asarray(mg_prolong_t_pallas(ec_t, h, w, bw,
+                                             out_rows=out_rows, wp=wp,
+                                             interpret=True))
+        want = np.asarray(_prolong_axis(ec, w, bw))  # (3, hc, w)
+        assert got.shape == (3, out_rows, wp)
+        np.testing.assert_array_equal(got[:, :hc, :w], want)
+        assert not got[:, hc:, :].any() and not got[:, :, w:].any()
+
+    def test_alt_orientation_solve_matches_quality(self):
+        """padded='t' (vcycle_t): same contraction as vcycle_p, solutions
+        equal to f32 rounding (the transposed coarse levels associate the
+        neighbor adds in the other order, so bitwise equality is not
+        expected)."""
+        from seamlesscloneoptimization_tpu.solvers.jacobi import residual
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        for hw in [(512, 520), (511, 517)]:
+            g = _rand((1,) + hw, seed=16)
+            gn = float(jnp.abs(g).max())
+            a = solve_multigrid(g, cycles=3, use_pallas=True, interpret=True,
+                                padded=True)
+            b = solve_multigrid(g, cycles=3, use_pallas=True, interpret=True,
+                                padded="t")
+            ra = float(jnp.abs(residual(a, g)).max()) / gn
+            rb = float(jnp.abs(residual(b, g)).max()) / gn
+            assert rb < 1.1 * ra + 1e-6, (hw, ra, rb)
+            rel = float(jnp.abs(a - b).max() / jnp.abs(a).max())
+            assert rel < 1e-4, (hw, rel)
+
     def test_padded_space_solve_matches_plain(self):
         """solve_multigrid(padded=True) == padded=False bitwise (interpret
         fused levels; the size clears the 1<<18 fused-level gate)."""

@@ -78,6 +78,12 @@ def main():
                                            use_pallas=True, padded=True),
         "multigrid_fixed3_padded": partial(solve_multigrid, cycles=3,
                                            use_pallas=True, padded=True),
+        "multigrid_fixed4_t": partial(solve_multigrid, cycles=4,
+                                      use_pallas=True, padded="t"),
+        "multigrid_fixed3_t": partial(solve_multigrid, cycles=3,
+                                      use_pallas=True, padded="t"),
+        "multigrid_t": partial(solve_multigrid, tol=2e-4, use_pallas=True,
+                               padded="t"),
         "vcycle1": partial(solve_multigrid, cycles=1, use_pallas=True),
         "multigrid_dyn": _mg_dyn,
         "dst_gemm": partial(solve_dst_gemm, precision="high"),
