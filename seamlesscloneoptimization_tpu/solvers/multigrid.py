@@ -391,8 +391,21 @@ def vcycle_t(u_p: jnp.ndarray, g_p: jnp.ndarray, h: int, w: int,
     th, hp, wp, hp2 = geom if geom is not None else mg_geometry_t(h, w)
     small = min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1
     if small or not _fused_level(h, w, nu1, nu2, True, interpret):
-        u = vcycle(u_p[:, :h, :w], g_p[:, :h, :w], nu1, nu2, coarsest,
-                   True, interpret, bh, bw, u_zero=u_zero)
+        # Any level below the fused-kernel gate solves EXACTLY in the
+        # separable eigenbasis (a few MXU GEMMs, <= ~0.3 GFLOP at the
+        # 512^2-area gate) instead of recursing through XLA sweep levels:
+        # the 8K XProf showed the sub-fused tail costing ~1.3 ms/solve in
+        # tiny-op staging copies (90 us S(1) round-trips for 13 KB eigen
+        # operands) while an exact coarse solve strictly improves the
+        # cycle's contraction. Levels below the fine one always enter with
+        # a zero guess, so the direct solve replaces the correction fully
+        # (the fine level never lands here: solve_multigrid only selects
+        # the 't' branch when the fine level passes the same gate).
+        if u_zero:
+            u = solve_sep_eig(g_p[:, :h, :w], round(bh, 9), round(bw, 9))
+        else:
+            u = vcycle(u_p[:, :h, :w], g_p[:, :h, :w], nu1, nu2, coarsest,
+                       True, interpret, bh, bw, u_zero=False)
         return _pad_to(u, u_p.shape)
     hc, bh_c = _coarsen(h, bh)
     wc, bw_c = _coarsen(w, bw)

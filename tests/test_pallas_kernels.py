@@ -707,8 +707,11 @@ class TestFusedMultigridKernels:
             ra = float(jnp.abs(residual(a, g)).max()) / gn
             rb = float(jnp.abs(residual(b, g)).max()) / gn
             assert rb < 1.1 * ra + 1e-6, (hw, ra, rb)
+            # both are 3-cycle iterates of the SAME fixed point; they differ
+            # by O(their own remaining error) (the t-path's exact eigen
+            # coarse solve converges slightly faster), not more
             rel = float(jnp.abs(a - b).max() / jnp.abs(a).max())
-            assert rel < 1e-4, (hw, rel)
+            assert rel < 1e-3, (hw, rel)
 
     def test_padded_space_solve_matches_plain(self):
         """solve_multigrid(padded=True) == padded=False bitwise (interpret
