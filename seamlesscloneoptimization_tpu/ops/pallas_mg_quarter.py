@@ -1,0 +1,508 @@
+"""Quarter-plane (checkerboard-decomposed) fused multigrid level kernels.
+
+The finest level dominates the V-cycle (8K XProf 2026-08-20: mg_up 1.15 /
+mg_down 0.75 ms per launch vs ~0.56 ms DMA roofs — VPU-bound at ~2x). The
+select-form sweeps compute a dense update everywhere and keep half per
+color; this module removes that waste structurally: u is stored as FOUR
+quarter planes indexed by (row parity, column parity),
+
+    EE[i,j] = u[2i,   2j]      EO[i,j] = u[2i,   2j+1]
+    OE[i,j] = u[2i+1, 2j]      OO[i,j] = u[2i+1, 2j+1]
+
+stacked as one (C, 4, H/2, W/2) array. Red cells are EE u OO, black are
+EO u OE, so each half-sweep updates exactly its two quarter planes from
+the other color's planes with +-1 sublane/lane shifts — no checkerboard
+masks, no discarded work, ~2.5x less VPU per sweep. The residual is
+computed on the red quarters only (it is identically zero at black after
+a black half-sweep), and the row-restriction falls out as two half-width
+planes (even/odd output lanes) with trivial weights — which the
+transposed lane-restriction (mg_restrict_tq_pallas) consumes WITHOUT any
+lane interleave, because after its in-VMEM transpose the combine is pure
+sublane arithmetic. Every reshape in the kernels is on the SUBLANE axis
+(Mosaic-legal); the single lane-parity split/merge happens ONCE per solve
+in XLA (to_quarters/from_quarters — one T(2,128) relayout each way).
+
+Used by solvers/multigrid.py:vcycle_q for the FINEST level only (bh ==
+bw == 1 there always); coarse levels keep the dense alternating-
+orientation chain (vcycle_t). Ref: the reference is direct-solver-only
+(SURVEY §2.7-2.8); this is the TPU-native iterative path's hot loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+    _round_up,
+    _vmem_params,
+)
+
+_MQ = 8  # quarter-row ghost band = 16 dense rows (>= any nu <= 4 staleness)
+
+
+def mg_geometry_q(h: int, w: int, th: int | None = None):
+    """(th_q, hq, wq2, hp2) for the quarter-plane finest level.
+
+    th_q: quarter-strip height (dense strip = 2*th_q). hq = rounded
+    quarter-plane rows, wq2 = rounded quarter lane extent (so the dense
+    pad is (2*hq, 2*wq2) — wp is forced to a 256-multiple). hp2 =
+    round_up(hq, 128): the rh split planes' row extent, and the lane
+    extent inherited by the coarse (dense, transposed) level.
+    """
+    import os
+
+    if th is None:
+        th_env = os.environ.get("SCL_MG_THQ")
+        th = int(th_env) if th_env else 64
+    assert th in (8, 16, 32, 64, 128, 256), th
+    hq = _round_up((h + 1) // 2, th)
+    wq2 = _round_up((w + 1) // 2, 128)
+    hp2 = _round_up(hq, 128)
+    return th, hq, wq2, hp2
+
+
+def to_quarters(x_p: jnp.ndarray) -> jnp.ndarray:
+    """(C, 2*HQ, 2*WQ) dense -> (C, 4, HQ, WQ) quarter planes (XLA, once
+    per solve; the lane pair-split is one T(2,128) relayout)."""
+    c, hp, wp = x_p.shape
+    q = x_p.reshape(c, hp // 2, 2, wp // 2, 2)
+    return q.transpose(0, 2, 4, 1, 3).reshape(c, 4, hp // 2, wp // 2)
+
+
+def from_quarters(uq: jnp.ndarray) -> jnp.ndarray:
+    """(C, 4, HQ, WQ) -> (C, 2*HQ, 2*WQ) dense (XLA, once per solve)."""
+    c, _, hq, wq = uq.shape
+    q = uq.reshape(c, 2, 2, hq, wq).transpose(0, 3, 1, 4, 2)
+    return q.reshape(c, 2 * hq, 2 * wq)
+
+
+def _ghost_specs_q(th: int, hq: int, wq2: int):
+    """(center, top, bottom) specs for a stacked (C, 4, hq, wq2) input."""
+    nb = hq // _MQ
+    r = th // _MQ
+    return (
+        pl.BlockSpec((1, 4, th, wq2), lambda c, i: (c, 0, i, 0)),
+        pl.BlockSpec((1, 4, _MQ, wq2), lambda c, i: (c, 0, jnp.maximum(i * r - 1, 0), 0)),
+        pl.BlockSpec((1, 4, _MQ, wq2), lambda c, i: (c, 0, jnp.minimum((i + 1) * r, nb - 1), 0)),
+    )
+
+
+def _asm_q(i, th, hq_true, wq2, ctr, top, bot):
+    """Assemble 4 ghosted (th + 2*MQ, wq2) quarter windows from blocked refs.
+
+    hq_true: quarter rows that hold real data (ceil(h/2)); clamped edge
+    DMAs beyond are zeroed like pallas_kernels._asm_window.
+    """
+    m = _MQ
+    rt = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (m, wq2), 0)
+    rb = (i + 1) * th + jax.lax.broadcasted_iota(jnp.int32, (m, wq2), 0)
+    out = []
+    for q in range(4):
+        wtop = jnp.where(rt >= 0, top[0, q], 0.0)
+        wbot = jnp.where(rb < hq_true, bot[0, q], 0.0)
+        out.append(jnp.concatenate([wtop, ctr[0, q], wbot], axis=0))
+    return out  # [EE, EO, OE, OO]
+
+
+def _lane_sh_q(wq: int, wq2: int):
+    """(left, right) lane fetches on a quarter plane (roll when wq < wq2)."""
+    if wq < wq2:
+        return (lambda x: pltpu.roll(x, 1, 1),
+                lambda x: pltpu.roll(x, wq2 - 1, 1))
+    return (lambda x: jnp.pad(x[:, :-1], ((0, 0), (1, 0))),
+            lambda x: jnp.pad(x[:, 1:], ((0, 0), (0, 1))))
+
+
+def _sub_sh(x, up: bool):
+    """Sublane +-1 shift with zero fill (quarter-row neighbors)."""
+    if up:  # x[i-1]
+        return jnp.pad(x[:-1, :], ((1, 0), (0, 0)))
+    return jnp.pad(x[1:, :], ((0, 1), (0, 0)))
+
+
+def _doms_q(i, th, h, w, wq2):
+    """Domain masks for the four quarter windows, in dense coordinates.
+
+    Quarter cell (iq, jq) of plane (rp, cp) is dense (2*iq + rp, 2*jq + cp);
+    valid iff inside [0, h) x [0, w) and the window row maps into [0, ..).
+    """
+    m = _MQ
+    iq = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wq2), 0)
+    jq = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wq2), 1)
+    doms = []
+    for rp in (0, 1):
+        for cp in (0, 1):
+            r = 2 * iq + rp
+            cc = 2 * jq + cp
+            doms.append((r >= 0) & (r < h) & (cc >= 0) & (cc < w))
+    return doms  # [EE, EO, OE, OO] order
+
+
+def _sweep_q(planes, gq, doms, lsh, rsh, n_sweeps):
+    """n red-black Gauss-Seidel sweeps on quarter planes.
+
+    Exact dense-update arithmetic per cell, association mirroring the
+    dense kernels' ((up + dn) + l) + r neighbor-sum order.
+    """
+    ee, eo, oe, oo = planes
+    gee, geo, goe, goo = gq
+    dee, deo, doe, doo = doms
+
+    def body(_, st):
+        ee, eo, oe, oo = st
+        # red: EE (up/dn = OE[i-1]/OE[i], l/r = EO[j-1]/EO[j])
+        ns = ((_sub_sh(oe, True) + oe) + lsh(eo)) + eo
+        ee = jnp.where(dee, (ns - gee) * 0.25, ee)
+        # red: OO (up/dn = EO[i]/EO[i+1], l/r = OE[j]/OE[j+1])
+        ns = ((eo + _sub_sh(eo, False)) + oe) + rsh(oe)
+        oo = jnp.where(doo, (ns - goo) * 0.25, oo)
+        # black: EO (up/dn = OO[i-1]/OO[i], l/r = EE[j]/EE[j+1])
+        ns = ((_sub_sh(oo, True) + oo) + ee) + rsh(ee)
+        eo = jnp.where(deo, (ns - geo) * 0.25, eo)
+        # black: OE (up/dn = EE[i]/EE[i+1], l/r = OO[j-1]/OO[j])
+        ns = ((ee + _sub_sh(ee, False)) + lsh(oo)) + oo
+        oe = jnp.where(doe, (ns - goe) * 0.25, oe)
+        return ee, eo, oe, oo
+
+    return jax.lax.fori_loop(0, n_sweeps, body, (ee, eo, oe, oo))
+
+
+def _down_q_body(planes, gq, i, *, nu1, th, h, w, wq2, hc, h_even, bw,
+                 u_is_zero=False):
+    """nu1 sweeps + red residual + row-restrict on ghosted quarter windows.
+
+    Returns (4 swept (th, wq2) strips, rh_e strip, rh_o strip) where
+    rh_e/rh_o are the EVEN/ODD-lane planes of the dense row-restricted
+    residual (coarse rows jc = i*th .. — one quarter-strip of fine rows
+    yields th coarse rows since coarse row jc reads fine rows 2jc..2jc+2
+    = quarter rows jc, jc+1).
+    """
+    doms = _doms_q(i, th, h, w, wq2)
+    lsh, rsh = _lane_sh_q((w + 1) // 2, wq2)
+    if u_is_zero and nu1 > 0:
+        ee, eo, oe, oo = planes
+        gee, geo, goe, goo = gq
+        dee, deo, doe, doo = doms
+        # first red half-sweep from zero: neighbor sums vanish exactly
+        ee = jnp.where(dee, (0.0 - gee) * 0.25, ee)
+        oo = jnp.where(doo, (0.0 - goo) * 0.25, oo)
+        ns = ((_sub_sh(oo, True) + oo) + ee) + rsh(ee)
+        eo = jnp.where(deo, (ns - geo) * 0.25, eo)
+        ns = ((ee + _sub_sh(ee, False)) + lsh(oo)) + oo
+        oe = jnp.where(doe, (ns - goe) * 0.25, oe)
+        planes = _sweep_q((ee, eo, oe, oo), gq, doms, lsh, rsh, nu1 - 1)
+    else:
+        planes = _sweep_q(planes, gq, doms, lsh, rsh, nu1)
+    ee, eo, oe, oo = planes
+    gee, geo, goe, goo = gq
+    dee, deo, doe, doo = doms
+
+    # residual at RED cells (zero at black after the black half-sweeps)
+    ns = ((_sub_sh(oe, True) + oe) + lsh(eo)) + eo
+    ree = jnp.where(dee, gee - (ns - 4.0 * ee), 0.0)
+    ns = ((eo + _sub_sh(eo, False)) + oe) + rsh(oe)
+    roo = jnp.where(doo, goo - (ns - 4.0 * oo), 0.0)
+
+    # row-restriction: rh[jc, 2j] = 0.25(r[2jc,2j] + r[2jc+2,2j])
+    #                 rh[jc, 2j+1] = 0.5 r[2jc+1, 2j+1]
+    # (r vanishes at black cells). The even-h edge row folds the
+    # Shortley-Weller gap weights like _mg_down_body's.
+    m = _MQ
+    jc_loc = slice(m, m + th)  # coarse row jc = quarter row (valid: res
+    # window rows are exact over [m, m+th+1) — staleness 2*nu1+1 dense
+    # rows = nu1+1 quarter rows <= m, +1 for the restrict's jc+1 fetch)
+    ree_dn = ree[m + 1 : m + 1 + th, :]
+    roo_dn = roo[m + 1 : m + 1 + th, :]
+    w_e = jnp.float32(0.25)
+    w_o0 = jnp.float32(0.5)
+    if h_even:
+        gap = 2.0 + 1.0  # bh == 1 at the finest level
+        jc = i * th + jax.lax.broadcasted_iota(jnp.int32, (th, wq2), 0)
+        last = jc == hc - 1
+        w_e_dn = jnp.where(last, jnp.float32((1.0 + 1.0) / gap * 0.5), w_e)
+        w_o_dn = jnp.where(last, jnp.float32(1.0 / gap * 0.5), 0.0)
+        rh_e = w_e * ree[jc_loc, :] + w_e_dn * ree_dn
+        rh_o = w_o0 * roo[jc_loc, :] + w_o_dn * roo_dn
+    else:
+        rh_e = w_e * ree[jc_loc, :] + w_e * ree_dn
+        rh_o = w_o0 * roo[jc_loc, :]
+    strips = [p[m : m + th, :] for p in planes]
+    return strips, rh_e, rh_o
+
+
+def _down_q_kernel(uc, ut, ub, gc, gt, gb, uo_ref, rhe_ref, rho_ref, *,
+                   nu1, th, hq_true, h, w, wq2, hc, h_even, bw):
+    i = pl.program_id(1)
+    planes = _asm_q(i, th, hq_true, wq2, uc, ut, ub)
+    gq = _asm_q(i, th, hq_true, wq2, gc, gt, gb)
+    strips, rh_e, rh_o = _down_q_body(planes, gq, i, nu1=nu1, th=th, h=h,
+                                      w=w, wq2=wq2, hc=hc, h_even=h_even,
+                                      bw=bw)
+    for q in range(4):
+        uo_ref[0, q] = strips[q]
+    rhe_ref[0] = rh_e
+    rho_ref[0] = rh_o
+
+
+def _down_q_kernel0(gc, gt, gb, uo_ref, rhe_ref, rho_ref, *, nu1, th,
+                    hq_true, h, w, wq2, hc, h_even, bw):
+    i = pl.program_id(1)
+    gq = _asm_q(i, th, hq_true, wq2, gc, gt, gb)
+    z = [jnp.zeros_like(g) for g in gq]
+    strips, rh_e, rh_o = _down_q_body(z, gq, i, nu1=nu1, th=th, h=h, w=w,
+                                      wq2=wq2, hc=hc, h_even=h_even, bw=bw,
+                                      u_is_zero=True)
+    for q in range(4):
+        uo_ref[0, q] = strips[q]
+    rhe_ref[0] = rh_e
+    rho_ref[0] = rh_o
+
+
+@partial(jax.jit, static_argnames=("nu1", "true_hw", "geom", "h_even", "bw",
+                                   "u_zero", "interpret"))
+def mg_down_q_pallas(uq, gq, nu1, true_hw, geom, bw: float = 1.0,
+                     u_zero: bool = False, interpret: bool = False,
+                     h_even: bool | None = None):
+    """Quarter-plane fused descent at the finest level (bh = bw = 1).
+
+    uq (or None with u_zero), gq: (C, 4, hq, wq2) stacked quarter planes,
+    exact zeros outside the true domain. Returns (swept uq, rh_e, rh_o)
+    with rh_e/rh_o (C, hp2, wq2): the even/odd-lane planes of the dense
+    row-restricted residual (rows [0, hc) valid; rows beyond hq unwritten
+    — mg_restrict_tq_pallas masks them).
+    """
+    h, w = true_hw
+    th, hq, wq2, hp2 = geom
+    c = gq.shape[0]
+    assert gq.shape == (c, 4, hq, wq2), (gq.shape, (c, 4, hq, wq2))
+    hc = (h - 1) // 2
+    if h_even is None:
+        h_even = h % 2 == 0
+    hq_true = (h + 1) // 2
+    ctr, top, bot = _ghost_specs_q(th, hq, wq2)
+    out_specs = [
+        pl.BlockSpec((1, 4, th, wq2), lambda ci, i: (ci, 0, i, 0)),
+        pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
+        pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((c, 4, hq, wq2), jnp.float32),
+        jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
+        jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
+    ]
+    kw = dict(nu1=nu1, th=th, hq_true=hq_true, h=h, w=w, wq2=wq2, hc=hc,
+              h_even=h_even, bw=bw)
+    if u_zero:
+        return pl.pallas_call(
+            partial(_down_q_kernel0, **kw),
+            grid=(c, hq // th),
+            in_specs=[ctr, top, bot],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=_vmem_params(2 * th, 2 * wq2, interpret),
+            interpret=interpret,
+        )(gq, gq, gq)
+    return pl.pallas_call(
+        partial(_down_q_kernel, **kw),
+        grid=(c, hq // th),
+        in_specs=[ctr, top, bot] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_vmem_params(2 * th, 2 * wq2, interpret),
+        interpret=interpret,
+    )(uq, uq, uq, gq, gq, gq)
+
+
+def _restrict_tq_kernel(e_ref, o_ref, out_ref, *, w, wc, hc, bw, out_rows):
+    """(128-row, wq2) slabs of rh_e/rh_o -> (out_rows, 128) transposed +
+    lane-restricted coarse RHS (x4 folded into the weights)."""
+    j = pl.program_id(1)
+    te = jnp.transpose(e_ref[0], (1, 0))  # (wq2, 128): sublanes = even lanes
+    to = jnp.transpose(o_ref[0], (1, 0))
+    # dense lanes 2k = te[k], 2k+1 = to[k]; restrict: out[jw] =
+    # 4*(0.25 rh[2jw] + 0.5 rh[2jw+1] + 0.25 rh[2jw+2])
+    out = (te[:wc] + 2.0 * to[:wc]) + te[1 : wc + 1]
+    if w % 2 == 0:
+        gap = 2.0 + bw
+        edge = ((te[wc - 1] + 2.0 * to[wc - 1])
+                + (2.0 * (1.0 + bw) / gap) * te[wc]) + (2.0 * bw / gap) * to[wc]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (wc, 128), 0)
+        out = jnp.where(sub == wc - 1, edge[None], out)
+    lane = j * 128 + jax.lax.broadcasted_iota(jnp.int32, (out_rows, 128), 1)
+    full = jnp.pad(out, ((0, out_rows - wc), (0, 0)))
+    out_ref[0] = jnp.where(lane < hc, full, 0.0)
+
+
+def mg_restrict_tq_pallas(rh_e, rh_o, h, w, bw, out_rows, out_lanes,
+                          interpret: bool = False):
+    """Transposed x4 lane-restriction from the SPLIT rh planes.
+
+    rh_e/rh_o: (C, hp2, wq2) from mg_down_q_pallas. Returns
+    (C, out_rows, out_lanes): the coarse RHS of the (hc, wc) grid in
+    TRANSPOSED orientation (the dense vcycle_t coarse level's input).
+    out_lanes must equal hp2 (whole-block reads); extra lanes zero.
+    """
+    c, hp2, wq2 = rh_e.shape
+    assert rh_o.shape == rh_e.shape
+    assert hp2 % 128 == 0 and out_lanes == hp2, (hp2, out_lanes)
+    hc, wc = (h - 1) // 2, (w - 1) // 2
+    assert wq2 >= wc + 1 and out_rows >= wc, (wq2, wc, out_rows)
+    return pl.pallas_call(
+        partial(_restrict_tq_kernel, w=w, wc=wc, hc=hc, bw=bw,
+                out_rows=out_rows),
+        grid=(c, hp2 // 128),
+        in_specs=[pl.BlockSpec((1, 128, wq2), lambda ci, j: (ci, j, 0))] * 2,
+        out_specs=pl.BlockSpec((1, out_rows, 128), lambda ci, j: (ci, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((c, out_rows, hp2), jnp.float32),
+        compiler_params=_vmem_params(128, 2 * wq2, interpret),
+        interpret=interpret,
+    )(rh_e, rh_o)
+
+
+def _prolong_tq_kernel(ec_ref, ee_ref, eo_ref, *, w, wc, bw, wq2):
+    """One (hp_c, 128)-lane window of ec_t -> SPLIT lane-parity planes of
+    the w-prolonged correction, transposed back to natural orientation.
+
+    Dense prolong: out[2j] = mids[j], out[2j+1] = e[j] — the even/odd
+    planes ARE mids and e directly (plus the even-w tail rows), so no
+    interleave exists at all in split form.
+    """
+    e = ec_ref[0]
+    ep = jnp.pad(e, ((1, 1), (0, 0)))
+    mids = 0.5 * (ep[: wc + 1] + ep[1 : wc + 2])
+    if w % 2 == 1:
+        # even lanes: 2j for 2j < w -> j <= wc (last = mids[wc]); odd: j < wc
+        ev = mids[: wc + 1]
+        od = e[:wc]
+    else:
+        gap = 2.0 + bw
+        last = e[wc - 1 : wc]
+        ev = jnp.concatenate([mids[:wc], last * ((1.0 + bw) / gap)], axis=0)
+        od = jnp.concatenate([e[:wc], last * (bw / gap)], axis=0)
+    ee_ref[0] = jnp.transpose(jnp.pad(ev, ((0, wq2 - ev.shape[0]), (0, 0))), (1, 0))
+    eo_ref[0] = jnp.transpose(jnp.pad(od, ((0, wq2 - od.shape[0]), (0, 0))), (1, 0))
+
+
+def mg_prolong_tq_pallas(ec_t, h, w, bw, out_rows, wq2,
+                         interpret: bool = False):
+    """Lane-prolongation of the TRANSPOSED coarse correction, split form.
+
+    ec_t: (C, hp_c, lanes >= out_rows) — the dense coarse vcycle_t
+    solution ((wc, hc) at the origin). Returns (e_even, e_odd), each
+    (C, out_rows, wq2): the even/odd lane-parity planes of
+    _prolong_axis(ec, w, bw), mg_up_q_pallas's correction operands.
+    """
+    c, hp_c, lanes = ec_t.shape
+    wc = (w - 1) // 2
+    assert lanes % 128 == 0 and out_rows % 128 == 0 and lanes >= out_rows
+    assert hp_c >= wc and wq2 >= (w + 1) // 2
+    return pl.pallas_call(
+        partial(_prolong_tq_kernel, w=w, wc=wc, bw=bw, wq2=wq2),
+        grid=(c, out_rows // 128),
+        in_specs=[pl.BlockSpec((1, hp_c, 128), lambda ci, j: (ci, 0, j))],
+        out_specs=[pl.BlockSpec((1, 128, wq2), lambda ci, j: (ci, j, 0))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((c, out_rows, wq2), jnp.float32)] * 2,
+        compiler_params=_vmem_params(128, 2 * wq2, interpret),
+        interpret=interpret,
+    )(ec_t)
+
+
+def _up_q_body(planes, gq, ee_c, eo_c, i, *, nu2, th, h, w, wq2, h_even):
+    """Row-prolong of the split corrections + add + nu2 sweeps."""
+    doms = _doms_q(i, th, h, w, wq2)
+    lsh, rsh = _lane_sh_q((w + 1) // 2, wq2)
+    m = _MQ
+    # quarter window row t holds dense rows 2*(i*th - m + t) + rp; its
+    # coarse row for the prolong is q = i*th - m + t (same indexing!), so
+    # corr_even_rows[t] = mids[q] needs ec rows q-1, q: the split coarse
+    # windows ee_c/eo_c are (th + 2m, wq2) with window row t = coarse row
+    # i*th - m + t, aligned 1:1 with the quarter windows.
+    mids_e = 0.5 * (jnp.pad(ee_c[:-1], ((1, 0), (0, 0))) + ee_c)
+    mids_o = 0.5 * (jnp.pad(eo_c[:-1], ((1, 0), (0, 0))) + eo_c)
+    # dense corr rows: even 2q -> mids[q], odd 2q+1 -> e[q]
+    cEE, cEO = mids_e, mids_o
+    cOE, cOO = ee_c, eo_c
+    if h_even:
+        gap = 2.0 + 1.0
+        rows = i * th - m + jax.lax.broadcasted_iota(
+            jnp.int32, (th + 2 * m, wq2), 0)
+        qedge = rows == (h - 2) // 2  # dense rows h-2 (even), h-1 (odd)
+        wA = 2.0 * (1.0 + 1.0) / gap
+        wB = 2.0 * 1.0 / gap
+        cEE = jnp.where(qedge, cEE * wA, cEE)
+        cEO = jnp.where(qedge, cEO * wA, cEO)
+        cOE = jnp.where(qedge, mids_e * wB, cOE)
+        cOO = jnp.where(qedge, mids_o * wB, cOO)
+    ee, eo, oe, oo = planes
+    dee, deo, doe, doo = doms
+    ee = jnp.where(dee, ee + cEE, ee)
+    eo = jnp.where(deo, eo + cEO, eo)
+    oe = jnp.where(doe, oe + cOE, oe)
+    oo = jnp.where(doo, oo + cOO, oo)
+    planes = _sweep_q((ee, eo, oe, oo), gq, doms, lsh, rsh, nu2)
+    return [p[m : m + th, :] for p in planes]
+
+
+def _up_q_kernel(uc, ut, ub, gc, gt, gb, eec, eet, eeb, eoc, eot, eob,
+                 uo_ref, *, nu2, th, hq_true, h, w, wq2, hc, h_even):
+    i = pl.program_id(1)
+    planes = _asm_q(i, th, hq_true, wq2, uc, ut, ub)
+    gq = _asm_q(i, th, hq_true, wq2, gc, gt, gb)
+    m = _MQ
+    rt = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (m, wq2), 0)
+    rb = (i + 1) * th + jax.lax.broadcasted_iota(jnp.int32, (m, wq2), 0)
+
+    def asm1(ctr, top, bot):
+        wtop = jnp.where(rt >= 0, top[0], 0.0)
+        wbot = jnp.where(rb < hc, bot[0], 0.0)
+        return jnp.concatenate([wtop, ctr[0], wbot], axis=0)
+
+    ee_c = asm1(eec, eet, eeb)
+    eo_c = asm1(eoc, eot, eob)
+    strips = _up_q_body(planes, gq, ee_c, eo_c, i, nu2=nu2, th=th, h=h,
+                        w=w, wq2=wq2, h_even=h_even)
+    for q in range(4):
+        uo_ref[0, q] = strips[q]
+
+
+@partial(jax.jit, static_argnames=("nu2", "true_hw", "geom", "h_even",
+                                   "interpret"))
+def mg_up_q_pallas(uq, gq, e_even, e_odd, nu2, true_hw, geom,
+                   interpret: bool = False, h_even: bool | None = None):
+    """Quarter-plane fused ascent: split-corr prolong + add + nu2 sweeps.
+
+    e_even/e_odd: (C, hp2, wq2) from mg_prolong_tq_pallas (rows [0, hc)
+    valid, zeros beyond). Returns the swept (C, 4, hq, wq2) planes.
+    """
+    h, w = true_hw
+    th, hq, wq2, hp2 = geom
+    c = uq.shape[0]
+    hc = (h - 1) // 2
+    if h_even is None:
+        h_even = h % 2 == 0
+    hq_true = (h + 1) // 2
+    assert uq.shape == (c, 4, hq, wq2) and gq.shape == uq.shape
+    assert e_even.shape == (c, hp2, wq2) and e_odd.shape == e_even.shape
+    ctr, top, bot = _ghost_specs_q(th, hq, wq2)
+    nb2 = hp2 // _MQ
+    r = th // _MQ
+    e_ctr = pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0))
+    e_top = pl.BlockSpec((1, _MQ, wq2),
+                         lambda ci, i: (ci, jnp.maximum(i * r - 1, 0), 0))
+    e_bot = pl.BlockSpec((1, _MQ, wq2),
+                         lambda ci, i: (ci, jnp.minimum((i + 1) * r, nb2 - 1), 0))
+    return pl.pallas_call(
+        partial(_up_q_kernel, nu2=nu2, th=th, hq_true=hq_true, h=h, w=w,
+                wq2=wq2, hc=hc, h_even=h_even),
+        grid=(c, hq // th),
+        in_specs=[ctr, top, bot] * 2 + [e_ctr, e_top, e_bot] * 2,
+        out_specs=pl.BlockSpec((1, 4, th, wq2), lambda ci, i: (ci, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, 4, hq, wq2), jnp.float32),
+        compiler_params=_vmem_params(2 * th, 2 * wq2, interpret),
+        interpret=interpret,
+    )(uq, uq, uq, gq, gq, gq, e_even, e_even, e_even, e_odd, e_odd, e_odd)

@@ -428,6 +428,46 @@ def vcycle_t(u_p: jnp.ndarray, g_p: jnp.ndarray, h: int, w: int,
                         true_hw=(h, w), geom=(th, hp, wp))
 
 
+def vcycle_q(uq: jnp.ndarray | None, gq: jnp.ndarray, h: int, w: int,
+             nu1: int = 1, nu2: int = 2, coarsest: int = 63,
+             interpret: bool = False, u_zero: bool = False,
+             geom=None) -> jnp.ndarray:
+    """One V-cycle with the FINEST level in quarter-plane form.
+
+    uq/gq: (C, 4, hq, wq2) stacked (row-parity x col-parity) planes
+    (ops/pallas_mg_quarter.py) — each half-sweep computes only its color's
+    two quarter planes (~2.5x less VPU than the dense select form, which
+    is the fine kernels' binding constraint). The coarse levels run the
+    dense alternating-orientation chain (vcycle_t); the transposed
+    transfer kernels consume/produce the split planes directly, so no
+    lane interleave exists anywhere between the one XLA to_quarters /
+    from_quarters pair at the solve boundary. Finest-level betas are
+    always 1, which is all the quarter kernels support.
+    """
+    from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_geometry_t
+    from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+        mg_down_q_pallas, mg_geometry_q, mg_prolong_tq_pallas,
+        mg_restrict_tq_pallas, mg_up_q_pallas)
+
+    c = gq.shape[0]
+    th, hq, wq2, hp2 = geom if geom is not None else mg_geometry_q(h, w)
+    hc, bh_c = _coarsen(h, 1.0)
+    wc, bw_c = _coarsen(w, 1.0)
+    u_s, rh_e, rh_o = mg_down_q_pallas(uq, gq, nu1, (h, w), (th, hq, wq2, hp2),
+                                       u_zero=u_zero, interpret=interpret)
+    cgeom = mg_geometry_t(wc, hc, wp_min=hp2)
+    cth, chp, cwp, chp2 = cgeom
+    rc_t = mg_restrict_tq_pallas(rh_e, rh_o, h, w, 1.0, out_rows=chp,
+                                 out_lanes=hp2, interpret=interpret)
+    ec_t = vcycle_t(jnp.zeros((c, chp, cwp), gq.dtype), rc_t, wc, hc,
+                    nu1, nu2, coarsest, interpret, bw_c, bh_c, u_zero=True,
+                    geom=cgeom)
+    e_e, e_o = mg_prolong_tq_pallas(ec_t, h, w, 1.0, out_rows=hp2, wq2=wq2,
+                                    interpret=interpret)
+    return mg_up_q_pallas(u_s, gq, e_e, e_o, nu2, (h, w), (th, hq, wq2, hp2),
+                          interpret=interpret)
+
+
 def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 63,
         use_pallas: bool = False, interpret: bool = False,
         bh: float = 1.0, bw: float = 1.0) -> jnp.ndarray:
@@ -508,7 +548,22 @@ def solve_multigrid(
         # which cuts the program (and the minutes-long tunnel compile of the
         # unrolled hierarchy) by ~cycles x at identical arithmetic
         c, h, w = g.shape
-        if padded == "t" and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+        if padded == "q" and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+            # quarter-plane finest level (vcycle_q): dense <-> quarters
+            # conversion once per solve, carry stays split across cycles
+            from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+                from_quarters, mg_geometry_q, to_quarters)
+
+            qgeom = mg_geometry_q(h, w)
+            _, hq, wq2, _ = qgeom
+            g_q = to_quarters(_pad_to(g, (c, 2 * hq, 2 * wq2)))
+            uq = jax.lax.fori_loop(
+                0, cycles,
+                lambda _, x: vcycle_q(x, g_q, h, w, nu1, nu2, coarsest,
+                                      interpret=interpret, geom=qgeom),
+                to_quarters(_pad_to(u, (c, 2 * hq, 2 * wq2))))
+            u = from_quarters(uq)[:, :h, :w]
+        elif padded == "t" and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
             # alternating-orientation rounded space (vcycle_t): the level
             # transfers run entirely as transpose-fused Pallas passes
             from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
@@ -582,6 +637,31 @@ def solve_multigrid(
         return u
 
     c, h, w = g.shape
+    if padded == "q" and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            from_quarters, mg_geometry_q, to_quarters)
+
+        qgeom = mg_geometry_q(h, w)
+        _, hq, wq2, _ = qgeom
+        g_q = to_quarters(_pad_to(g, (c, 2 * hq, 2 * wq2)))
+
+        def cond_q(state):
+            uq, it = state
+            r = residual(from_quarters(uq)[:, :h, :w], g)
+            return (jnp.max(jnp.abs(r)) > tol * gnorm) & (it < max_cycles)
+
+        def body_q(state):
+            uq, it = state
+            return (vcycle_q(uq, g_q, h, w, nu1, nu2, coarsest,
+                             interpret=interpret, geom=qgeom), it + 1)
+
+        uq, it = jax.lax.while_loop(
+            cond_q, body_q,
+            (to_quarters(_pad_to(u, (c, 2 * hq, 2 * wq2))), jnp.int32(0)))
+        u = from_quarters(uq)[:, :h, :w]
+        if return_info:
+            return u, {"cycles": it, "residual": jnp.max(jnp.abs(residual(u, g)))}
+        return u
     if padded and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
         # rounded-space while_loop: the residual check crops (1 pass) but
         # every V-cycle saves the per-launch pad/crop passes (vcycle_p /

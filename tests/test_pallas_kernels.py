@@ -713,6 +713,91 @@ class TestFusedMultigridKernels:
             rel = float(jnp.abs(a - b).max() / jnp.abs(a).max())
             assert rel < 1e-3, (hw, rel)
 
+    @pytest.mark.parametrize("hw", [(64, 130), (63, 127), (70, 200), (65, 128)])
+    def test_quarter_down_matches_dense(self, hw):
+        """mg_down_q_pallas == the dense XLA sweep+residual+row-restrict
+        (the quarter decomposition computes the same Gauss-Seidel updates,
+        just only at the active color's cells)."""
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            from_quarters, mg_down_q_pallas, mg_geometry_q, to_quarters)
+        from seamlesscloneoptimization_tpu.solvers.multigrid import _restrict_rows
+
+        h, w = hw
+        hc = (h - 1) // 2
+        g = _rand((3, h, w), seed=31)
+        u0 = _rand((3, h, w), seed=32, scale=10.0)
+        geom = mg_geometry_q(h, w, th=16)
+        th, hq, wq2, hp2 = geom
+
+        def pad_q(x):
+            xp = jnp.asarray(np.pad(np.asarray(x), (
+                (0, 0), (0, 2 * hq - h), (0, 2 * wq2 - w))))
+            return to_quarters(xp)
+
+        uq, rh_e, rh_o = mg_down_q_pallas(pad_q(u0), pad_q(g), 1, (h, w),
+                                          geom, interpret=True)
+        u_got = np.asarray(from_quarters(uq))[:, :h, :w]
+        u_x, rh_x = self._xla_down(u0, g, 1, 1.0, 1.0)
+        np.testing.assert_allclose(u_got, np.asarray(u_x), atol=1e-3, rtol=1e-5)
+        # interleave the split rh planes back to dense and compare
+        rh_el = np.asarray(rh_e)[:, :hc, :]
+        rh_ol = np.asarray(rh_o)[:, :hc, :]
+        dense = np.zeros((3, hc, 2 * wq2), np.float32)
+        dense[:, :, 0::2] = rh_el
+        dense[:, :, 1::2] = rh_ol
+        np.testing.assert_allclose(dense[:, :, :w], np.asarray(rh_x),
+                                   atol=1e-3, rtol=1e-5)
+
+    @pytest.mark.parametrize("hw", [(64, 130), (63, 127), (70, 200), (65, 128)])
+    def test_quarter_up_matches_dense(self, hw):
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            from_quarters, mg_geometry_q, mg_up_q_pallas, to_quarters)
+
+        h, w = hw
+        hc = (h - 1) // 2
+        g = _rand((3, h, w), seed=33)
+        u0 = _rand((3, h, w), seed=34, scale=10.0)
+        e = _rand((3, hc, w), seed=35, scale=5.0)
+        geom = mg_geometry_q(h, w, th=16)
+        th, hq, wq2, hp2 = geom
+
+        def pad_q(x):
+            xp = jnp.asarray(np.pad(np.asarray(x), (
+                (0, 0), (0, 2 * hq - h), (0, 2 * wq2 - w))))
+            return to_quarters(xp)
+
+        # split e_lane into lane-parity planes (what mg_prolong_tq emits)
+        ew = np.zeros((3, hc, 2 * wq2), np.float32)
+        ew[:, :, :w] = np.asarray(e)
+        e_even = jnp.asarray(np.pad(ew[:, :, 0::2], ((0, 0), (0, hp2 - hc), (0, 0))))
+        e_odd = jnp.asarray(np.pad(ew[:, :, 1::2], ((0, 0), (0, hp2 - hc), (0, 0))))
+        uq = mg_up_q_pallas(pad_q(u0), pad_q(g), e_even, e_odd, 2, (h, w),
+                            geom, interpret=True)
+        u_got = np.asarray(from_quarters(uq))[:, :h, :w]
+        u_x = self._xla_up(u0, g, e, 2, 1.0, 1.0)
+        np.testing.assert_allclose(u_got, np.asarray(u_x), atol=1e-3, rtol=1e-5)
+
+    def test_quarter_solve_matches_t(self):
+        """padded='q' == padded='t' contraction (identical algorithm; the
+        finest level just computes only the active color's cells)."""
+        from seamlesscloneoptimization_tpu.solvers.jacobi import residual
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        for hw in [(512, 520), (511, 517)]:
+            g = _rand((1,) + hw, seed=16)
+            gn = float(jnp.abs(g).max())
+            a = solve_multigrid(g, cycles=3, use_pallas=True, interpret=True,
+                                padded="t")
+            b = solve_multigrid(g, cycles=3, use_pallas=True, interpret=True,
+                                padded="q")
+            ra = float(jnp.abs(residual(a, g)).max()) / gn
+            rb = float(jnp.abs(residual(b, g)).max()) / gn
+            # same contraction; the tolerance absorbs f32 rounding noise at
+            # the ~1e-5 residuals three cycles reach
+            assert rb < 1.3 * ra + 1e-6, (hw, ra, rb)
+            rel = float(jnp.abs(a - b).max() / jnp.abs(a).max())
+            assert rel < 1e-4, (hw, rel)
+
     def test_padded_space_solve_matches_plain(self):
         """solve_multigrid(padded=True) == padded=False bitwise (interpret
         fused levels; the size clears the 1<<18 fused-level gate)."""

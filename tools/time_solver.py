@@ -84,6 +84,10 @@ def main():
                                       use_pallas=True, padded="t"),
         "multigrid_t": partial(solve_multigrid, tol=2e-4, use_pallas=True,
                                padded="t"),
+        "multigrid_fixed4_q": partial(solve_multigrid, cycles=4,
+                                      use_pallas=True, padded="q"),
+        "multigrid_q": partial(solve_multigrid, tol=2e-4, use_pallas=True,
+                               padded="q"),
         "vcycle1": partial(solve_multigrid, cycles=1, use_pallas=True),
         "multigrid_dyn": _mg_dyn,
         "dst_gemm": partial(solve_dst_gemm, precision="high"),

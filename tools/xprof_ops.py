@@ -118,6 +118,9 @@ def main():
         "solve_fix4_t": jax.jit(lambda x, gg: MG.solve_multigrid(
             gg + 0.0 * x[:, :1, :1].sum(), cycles=4, use_pallas=True,
             padded="t")),
+        "solve_fix4_q": jax.jit(lambda x, gg: MG.solve_multigrid(
+            gg + 0.0 * x[:, :1, :1].sum(), cycles=4, use_pallas=True,
+            padded="q")),
     }
     f = fns[piece]
     s = jax.jit(lambda a: jnp.max(jnp.abs(a)))
