@@ -60,7 +60,9 @@ def mg_geometry_q(h: int, w: int, th: int | None = None):
         th_env = os.environ.get("SCL_MG_THQ")
         th = int(th_env) if th_env else 64
     assert th in (8, 16, 32, 64, 128, 256), th
-    hq = _round_up((h + 1) // 2, th)
+    # hq rounds to lcm(th, 128): strips need th | hq, the Pallas
+    # quarter<->dense conversion kernels need 128 | hq
+    hq = _round_up((h + 1) // 2, max(th, 128))
     wq2 = _round_up((w + 1) // 2, 128)
     hp2 = _round_up(hq, 128)
     return th, hq, wq2, hp2
@@ -79,6 +81,73 @@ def from_quarters(uq: jnp.ndarray) -> jnp.ndarray:
     c, _, hq, wq = uq.shape
     q = uq.reshape(c, 2, 2, hq, wq).transpose(0, 3, 1, 4, 2)
     return q.reshape(c, 2 * hq, 2 * wq)
+
+
+def _to_q_kernel(a_ref, b_ref, out_ref):
+    """Two dense 128-row slabs -> one (4, 128, wq2) stacked quarter block.
+
+    The lane-parity split rides an in-VMEM transpose (sublane reshapes are
+    Mosaic-legal, lane ones are not); the row-parity split is a sublane
+    reshape. XLA's own lowering of this conversion was the whole
+    pathology: 81 of the 93 ms/solve at 8K (generic 5D reshapes + layout
+    copies at ~5 GB/s, solve_fix4_q XProf 2026-08-20).
+    """
+    xw = jnp.concatenate([a_ref[0], b_ref[0]], axis=0)   # (256, wp_d)
+    t = jnp.transpose(xw, (1, 0))                        # (wp_d, 256)
+    pr = t.reshape(t.shape[0] // 2, 2, 256)
+    e = jnp.transpose(pr[:, 0, :], (1, 0))               # (256, wq2) even lanes
+    o = jnp.transpose(pr[:, 1, :], (1, 0))
+    er = e.reshape(128, 2, e.shape[1])
+    orr = o.reshape(128, 2, o.shape[1])
+    out_ref[0, 0] = er[:, 0, :]   # EE
+    out_ref[0, 1] = orr[:, 0, :]  # EO
+    out_ref[0, 2] = er[:, 1, :]   # OE
+    out_ref[0, 3] = orr[:, 1, :]  # OO
+
+
+def to_quarters_pallas(x_p: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """(C, 2*HQ, 2*WQ) dense -> (C, 4, HQ, WQ) quarters, ~2 roofline passes."""
+    c, hp_d, wp_d = x_p.shape
+    hq, wq2 = hp_d // 2, wp_d // 2
+    assert hq % 128 == 0 and wq2 % 128 == 0, (hq, wq2)
+    return pl.pallas_call(
+        _to_q_kernel,
+        grid=(c, hq // 128),
+        in_specs=[
+            pl.BlockSpec((1, 128, wp_d), lambda ci, i: (ci, 2 * i, 0)),
+            pl.BlockSpec((1, 128, wp_d), lambda ci, i: (ci, 2 * i + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 4, 128, wq2), lambda ci, i: (ci, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, 4, hq, wq2), jnp.float32),
+        compiler_params=_vmem_params(256, wp_d, interpret),
+        interpret=interpret,
+    )(x_p, x_p)
+
+
+def _from_q_kernel(q_ref, out_ref):
+    """One (4, 128, wq2) quarter block -> a dense (256, wp_d) slab."""
+    ee, eo, oe, oo = (q_ref[0, i] for i in range(4))
+    e = jnp.stack([ee, oe], axis=1).reshape(256, ee.shape[1])  # even lanes
+    o = jnp.stack([eo, oo], axis=1).reshape(256, eo.shape[1])
+    et = jnp.transpose(e, (1, 0))                              # (wq2, 256)
+    ot = jnp.transpose(o, (1, 0))
+    inter = jnp.stack([et, ot], axis=1).reshape(2 * et.shape[0], 256)
+    out_ref[0] = jnp.transpose(inter, (1, 0))                  # (256, wp_d)
+
+
+def from_quarters_pallas(uq: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """(C, 4, HQ, WQ) quarters -> (C, 2*HQ, 2*WQ) dense, ~2 roofline passes."""
+    c, _, hq, wq2 = uq.shape
+    assert hq % 128 == 0 and wq2 % 128 == 0, (hq, wq2)
+    return pl.pallas_call(
+        _from_q_kernel,
+        grid=(c, hq // 128),
+        in_specs=[pl.BlockSpec((1, 4, 128, wq2), lambda ci, i: (ci, 0, i, 0))],
+        out_specs=pl.BlockSpec((1, 256, 2 * wq2), lambda ci, i: (ci, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, 2 * hq, 2 * wq2), jnp.float32),
+        compiler_params=_vmem_params(256, 2 * wq2, interpret),
+        interpret=interpret,
+    )(uq)
 
 
 def _ghost_specs_q(th: int, hq: int, wq2: int):

@@ -1,8 +1,9 @@
 from seamlesscloneoptimization_tpu.parallel.mesh import init_distributed, make_tile_mesh
 from seamlesscloneoptimization_tpu.parallel.tiled import (
     halo_exchange,
-    solve_redblack_tiled,
+    solve_multigrid_dd,
     solve_multigrid_sharded,
+    solve_redblack_tiled,
 )
 from seamlesscloneoptimization_tpu.parallel.batch import (
     clone_roi_batch,
@@ -18,6 +19,7 @@ __all__ = [
     "make_tile_mesh",
     "halo_exchange",
     "solve_redblack_tiled",
+    "solve_multigrid_dd",
     "solve_multigrid_sharded",
     "clone_roi_batch",
     "seamless_clone_batch_fused",

@@ -259,11 +259,25 @@ def _sweeps(u, g, n, use_pallas=False):
     return u
 
 
-def _fused_level(h: int, w: int, nu1: int, nu2: int, use_pallas, interpret: bool) -> bool:
+def _fused_level(h: int, w: int, nu1: int, nu2: int, use_pallas, interpret: bool,
+                 fuse_min: int = 1 << 18) -> bool:
     """Whether this level runs as the two fused Pallas stage kernels."""
-    if not use_pallas or h * w < 1 << 18 or nu1 > 2 or nu2 > 4:
+    if not use_pallas or h * w < fuse_min or nu1 > 2 or nu2 > 4:
         return False
     return interpret or jax.default_backend() == "tpu"
+
+
+def _fuse_min_t() -> int:
+    """Size gate for vcycle_t's fused levels (trace-time env knob).
+
+    Lower than vcycle/vcycle_p's 1<<18: every sub-gate level eigen-solves
+    DIRECTLY (no XLA recursion), and the 8K q-solve XProf showed the
+    (473, 348) eigen operands costing 3.5 ms/solve in per-cycle S(1)
+    staging copies — one more fused level shrinks them 4x.
+    """
+    import os
+
+    return int(os.environ.get("SCL_MG_FUSEMIN", str(1 << 16)))
 
 
 def vcycle(u: jnp.ndarray, g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 63,
@@ -390,7 +404,8 @@ def vcycle_t(u_p: jnp.ndarray, g_p: jnp.ndarray, h: int, w: int,
     c = g_p.shape[0]
     th, hp, wp, hp2 = geom if geom is not None else mg_geometry_t(h, w)
     small = min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1
-    if small or not _fused_level(h, w, nu1, nu2, True, interpret):
+    if small or not _fused_level(h, w, nu1, nu2, True, interpret,
+                                 fuse_min=_fuse_min_t()):
         # Any level below the fused-kernel gate solves EXACTLY in the
         # separable eigenbasis (a few MXU GEMMs, <= ~0.3 GFLOP at the
         # 512^2-area gate) instead of recursing through XLA sweep levels:
@@ -552,17 +567,25 @@ def solve_multigrid(
             # quarter-plane finest level (vcycle_q): dense <-> quarters
             # conversion once per solve, carry stays split across cycles
             from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
-                from_quarters, mg_geometry_q, to_quarters)
+                from_quarters_pallas, mg_geometry_q, to_quarters_pallas)
 
             qgeom = mg_geometry_q(h, w)
             _, hq, wq2, _ = qgeom
-            g_q = to_quarters(_pad_to(g, (c, 2 * hq, 2 * wq2)))
+            # Pallas conversions: XLA's generic lowering of the 5D parity
+            # reshapes measured 81 of 93 ms/solve at 8K (xprof 2026-08-20)
+            g_q = to_quarters_pallas(_pad_to(g, (c, 2 * hq, 2 * wq2)),
+                                     interpret=interpret)
+            if u0 is None and not fmg_start:  # zero guess: skip a conversion
+                uq0 = jnp.zeros((c, 4, hq, wq2), g.dtype)
+            else:
+                uq0 = to_quarters_pallas(_pad_to(u, (c, 2 * hq, 2 * wq2)),
+                                         interpret=interpret)
             uq = jax.lax.fori_loop(
                 0, cycles,
                 lambda _, x: vcycle_q(x, g_q, h, w, nu1, nu2, coarsest,
                                       interpret=interpret, geom=qgeom),
-                to_quarters(_pad_to(u, (c, 2 * hq, 2 * wq2))))
-            u = from_quarters(uq)[:, :h, :w]
+                uq0)
+            u = from_quarters_pallas(uq, interpret=interpret)[:, :h, :w]
         elif padded == "t" and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
             # alternating-orientation rounded space (vcycle_t): the level
             # transfers run entirely as transpose-fused Pallas passes
@@ -639,15 +662,16 @@ def solve_multigrid(
     c, h, w = g.shape
     if padded == "q" and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
         from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
-            from_quarters, mg_geometry_q, to_quarters)
+            from_quarters_pallas, mg_geometry_q, to_quarters_pallas)
 
         qgeom = mg_geometry_q(h, w)
         _, hq, wq2, _ = qgeom
-        g_q = to_quarters(_pad_to(g, (c, 2 * hq, 2 * wq2)))
+        g_q = to_quarters_pallas(_pad_to(g, (c, 2 * hq, 2 * wq2)),
+                                 interpret=interpret)
 
         def cond_q(state):
             uq, it = state
-            r = residual(from_quarters(uq)[:, :h, :w], g)
+            r = residual(from_quarters_pallas(uq, interpret=interpret)[:, :h, :w], g)
             return (jnp.max(jnp.abs(r)) > tol * gnorm) & (it < max_cycles)
 
         def body_q(state):
@@ -657,8 +681,9 @@ def solve_multigrid(
 
         uq, it = jax.lax.while_loop(
             cond_q, body_q,
-            (to_quarters(_pad_to(u, (c, 2 * hq, 2 * wq2))), jnp.int32(0)))
-        u = from_quarters(uq)[:, :h, :w]
+            (to_quarters_pallas(_pad_to(u, (c, 2 * hq, 2 * wq2)),
+                                interpret=interpret), jnp.int32(0)))
+        u = from_quarters_pallas(uq, interpret=interpret)[:, :h, :w]
         if return_info:
             return u, {"cycles": it, "residual": jnp.max(jnp.abs(residual(u, g)))}
         return u

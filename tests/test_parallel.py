@@ -150,6 +150,32 @@ class TestTiledSolvers:
                     / jnp.abs(exact).max())
         assert rel < 1e-2, rel
 
+    @pytest.mark.parametrize("true_hw", [None, (61, 121)])
+    def test_multigrid_dd_matches_single_chip(self, mesh24, true_hw):
+        """Domain-decomposed multigrid (shard_map fine level + replicated
+        coarse) == the single-device solver to f32 rounding; Pallas
+        per-shard sweeps bitwise-equal to the XLA tile body."""
+        from seamlesscloneoptimization_tpu.parallel.tiled import solve_multigrid_dd
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        H, W = 64, 128
+        ht, wt = true_hw if true_hw else (H, W)
+        rng = np.random.default_rng(13)
+        gt = (rng.normal(size=(3, ht, wt)) * 50).astype(np.float32)
+        g = np.zeros((3, H, W), np.float32)
+        g[:, :ht, :wt] = gt
+        g = jnp.asarray(g)
+        u_dd = solve_multigrid_dd(g, mesh24, true_hw=true_hw, cycles=4,
+                                  use_pallas=False)
+        u_ref = solve_multigrid(jnp.asarray(gt), cycles=4)
+        rel = float(jnp.abs(u_dd[:, :ht, :wt] - u_ref).max()
+                    / jnp.abs(u_ref).max())
+        assert rel < 1e-4, rel
+        assert float(jnp.abs(u_dd[:, ht:, :]).max() if ht < H else 0.0) == 0.0
+        u_pl = solve_multigrid_dd(g, mesh24, true_hw=true_hw, cycles=4,
+                                  use_pallas=True, interpret=True)
+        assert bool(jnp.all(u_pl == u_dd))
+
     def test_multigrid_sharded_matches_exact(self, mesh24):
         g = _rand_g(64, 128, seed=4)
         u = solve_multigrid_sharded(g, mesh24, tol=1e-5)
