@@ -39,11 +39,14 @@ class CloneConfig:
     max_cycles: int = 60  # multigrid V-cycle cap
     mg_cycles: int | None = None  # fixed-work multigrid: FMG + N cycles, no checks
     use_pallas_smoother: bool = False  # fused k-sweep Pallas smoother (TPU only)
-    mg_padded: bool = True  # rounded-space multigrid V-cycles (blocked-ghost
-    # padded_io level kernels, solvers/multigrid.py:vcycle_p; TPU only).
-    # Default ON from the 2026-08-18 v5e A/B: 11.0 -> 8.8 ms fixed-4-cycle at
-    # 3x1550x2398 and 48.8 -> 29.1 ms at 3x2798x3798 vs the element-mode path
-    # (with the width-keyed strip heights of ops.pallas_kernels.mg_geometry).
+    mg_padded: bool | str = "q"  # rounded-space multigrid mode (TPU only):
+    # "q" = quarter-plane finest level + transpose-fused coarse chain
+    #       (solvers/multigrid.py vcycle_q/vcycle_t) — the 2026-08-20 v5e
+    #       default: tol=2e-4 solve 10.06 -> 6.28 ms at 3x1550x2398, fixed-4
+    #       7.8 -> 4.09; 8K fixed-4 12.63 ms = parity with folded dst_gemm.
+    # "t" = dense alternating-orientation chain (vcycle_t), within noise of
+    #       "q" in tol mode, ~10% behind in fixed-cycles mode.
+    # True = round-2 blocked-ghost vcycle_p (kept for A/B); False = element.
     use_pallas_preprocess: bool = False  # one-pass Pallas erode+guidance+RHS (TPU only)
     use_pallas_postprocess: bool = False  # layout-aware Pallas blend (TPU + dst_gemm only)
     debug_dump: bool = False  # save per-stage arrays (ref: SCDEBUG dumps)

@@ -25,16 +25,21 @@ from seamlesscloneoptimization_tpu.solvers.jacobi import solve_redblack, redblac
 from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 
 # Direct DST-GEMM is O(N^1.5) FLOPs on the MXU; multigrid is O(N). Fresh
-# v5e constants (tools/time_solver.py, 2026-08-18, winning configs: folded
-# DST / rounded-space fixed-4-cycle multigrid): 3.7 MP -> 2.89 vs 8.8 ms;
-# 10.6 MP -> 12.6 vs 29.1 ms. The pure-time crossover extrapolates to
-# ~0.5 GP — but the direct solve stops being the right answer well before
-# that: its O(H^2+W^2) eigenbasis + O(N) GEMM workspace approach the HBM
-# budget (~12k-square basis pair alone is >1 GB) and its f32 conditioning
-# degrades with size (measured rel-residual 5e-3 at 3.7 MP -> 1.7e-2 at
-# 10.6 MP, vs multigrid's 1e-4 at every size). 150 MP keeps the direct
-# path where it is both faster AND well-conditioned, with headroom in HBM.
-AUTO_CROSSOVER_PIXELS = 150_000_000
+# v5e constants (tools/time_solver.py, 2026-08-20, winning configs: folded
+# DST / quarter-plane multigrid padded="q"): fixed-work mode reaches
+# PARITY at 10.6 MP (12.63 vs 12.66 ms, same-session back-to-back) and
+# 3.7 MP -> 4.09 vs 2.89 ms; in TOLERANCE mode (what solve_auto promises)
+# multigrid pays residual checks — 6.28 vs 2.89 ms at 3.7 MP, 25.4 vs
+# 12.7 ms at 10.6 MP — extrapolating the O(N)-vs-O(N^1.5) ratio to a
+# ~40 MP tol-mode crossover. The direct solve also stops being the right
+# answer on other axes there: its O(H^2+W^2) eigenbasis + O(N) GEMM
+# workspace approach the HBM budget (a 12k-square basis pair alone is
+# >1 GB) and its f32 conditioning degrades with size (rel-residual 5e-3
+# at 3.7 MP -> 1.7e-2 at 10.6 MP, vs multigrid's <= 1.6e-4 everywhere) —
+# beyond ~40 MP the iterative path is faster AND the only one that can
+# honor tol at all. Serving pipelines that know their quality bar should
+# prefer fixed-work multigrid (mg_cycles=4) from ~10 MP up.
+AUTO_CROSSOVER_PIXELS = 40_000_000
 
 
 def auto_solver_name(shape, crossover: int = AUTO_CROSSOVER_PIXELS) -> str:

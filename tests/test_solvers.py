@@ -253,10 +253,10 @@ class TestAutoSolver:
         )
 
         assert auto_solver_name((3, 1550, 2398)) == "dst_gemm"  # 3.7 MP
-        assert auto_solver_name((3, 4318, 7678)) == "dst_gemm"  # 33 MP (8K)
-        assert auto_solver_name((3, 10000, 15000)) == "dst_gemm"  # exactly 150 MP
-        assert auto_solver_name((3, 10000, 15001)) == "multigrid"  # just past it
-        assert AUTO_CROSSOVER_PIXELS == 150_000_000  # pinned by docs/PERF.md
+        assert auto_solver_name((3, 2798, 3798)) == "dst_gemm"  # 10.6 MP
+        assert auto_solver_name((3, 5000, 8000)) == "dst_gemm"  # exactly 40 MP
+        assert auto_solver_name((3, 5000, 8001)) == "multigrid"  # just past it
+        assert AUTO_CROSSOVER_PIXELS == 40_000_000  # pinned by docs/PERF.md
 
     def test_auto_via_engine(self):
         import cv2
