@@ -267,6 +267,29 @@ def _fused_level(h: int, w: int, nu1: int, nu2: int, use_pallas, interpret: bool
     return interpret or jax.default_backend() == "tpu"
 
 
+def _tol_burst(tol: float, max_cycles: int) -> int:
+    """Check-free V-cycles to run before the first residual check (zero start).
+
+    Tolerance mode pays ~0.6 cycle-equivalents per residual check (the
+    from_quarters/crop conversion + the 5-point residual pass + the max
+    reduce, all serialized by the while_loop) — measured 25.4 ms vs the
+    fixed-4 12.6 ms at 3x2798x3798. From a ZERO start the first check is
+    pure waste (||r0|| = ||g||) and the next few are predictable: the
+    boundary-consistent hierarchy contracts ~0.11-0.12/cycle at every size
+    measured (see solve_multigrid's docstring). Assuming a conservative
+    0.15/cycle, the first check that can possibly pass is after
+    ceil(log tol / log 0.15) cycles; we burst two fewer than that through
+    a check-free fori_loop and let the while_loop verify from there, so
+    the tolerance contract is untouched even for badly-conditioned RHS.
+    """
+    import math
+
+    if not (0.0 < tol < 0.15):
+        return 0
+    pred = math.ceil(math.log(tol) / math.log(0.15))
+    return max(0, min(max_cycles, pred - 2))
+
+
 def _fuse_min_t() -> int:
     """Size gate for vcycle_t's fused levels (trace-time env knob).
 
@@ -506,9 +529,10 @@ def fmg(g: jnp.ndarray, nu1: int = 2, nu2: int = 2, coarsest: int = 63,
     return vcycle(u, g, nu1, nu2, coarsest, use_pallas, interpret, bh, bw)
 
 
-@partial(jax.jit, static_argnames=("max_cycles", "nu1", "nu2", "return_info",
-                                   "use_pallas", "cycles", "pcg", "interpret",
-                                   "coarsest", "fmg_start", "padded"))
+@partial(jax.jit, static_argnames=("tol", "max_cycles", "nu1", "nu2",
+                                   "return_info", "use_pallas", "cycles",
+                                   "pcg", "interpret", "coarsest",
+                                   "fmg_start", "padded"))
 def solve_multigrid(
     g: jnp.ndarray,
     u0: jnp.ndarray | None = None,
@@ -624,6 +648,9 @@ def solve_multigrid(
                        "residual": jnp.max(jnp.abs(residual(u, g)))}
         return u
     gnorm = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
+    # Zero start: the first _tol_burst(tol) cycles run check-free (see its
+    # docstring); the while_loop then verifies the tolerance from there.
+    burst = 0 if (u0 is not None or fmg_start or pcg) else _tol_burst(tol, max_cycles)
 
     if pcg:
         def apply_A(p):
@@ -679,10 +706,17 @@ def solve_multigrid(
             return (vcycle_q(uq, g_q, h, w, nu1, nu2, coarsest,
                              interpret=interpret, geom=qgeom), it + 1)
 
-        uq, it = jax.lax.while_loop(
-            cond_q, body_q,
-            (to_quarters_pallas(_pad_to(u, (c, 2 * hq, 2 * wq2)),
-                                interpret=interpret), jnp.int32(0)))
+        if u0 is None and not fmg_start:  # zero guess: skip a conversion
+            uq0 = jnp.zeros((c, 4, hq, wq2), g.dtype)
+        else:
+            uq0 = to_quarters_pallas(_pad_to(u, (c, 2 * hq, 2 * wq2)),
+                                     interpret=interpret)
+        if burst:
+            uq0 = jax.lax.fori_loop(
+                0, burst,
+                lambda _, x: vcycle_q(x, g_q, h, w, nu1, nu2, coarsest,
+                                      interpret=interpret, geom=qgeom), uq0)
+        uq, it = jax.lax.while_loop(cond_q, body_q, (uq0, jnp.int32(burst)))
         u = from_quarters_pallas(uq, interpret=interpret)[:, :h, :w]
         if return_info:
             return u, {"cycles": it, "residual": jnp.max(jnp.abs(residual(u, g)))}
@@ -719,8 +753,11 @@ def solve_multigrid(
                                use_pallas=use_pallas, interpret=interpret)
             return nxt, it + 1
 
-        u_p, it = jax.lax.while_loop(cond_p, body_p,
-                                     (_pad_to(u, (c, hp, wp)), jnp.int32(0)))
+        u_p0 = _pad_to(u, (c, hp, wp))
+        if burst:
+            u_p0 = jax.lax.fori_loop(
+                0, burst, lambda _, x: body_p((x, 0))[0], u_p0)
+        u_p, it = jax.lax.while_loop(cond_p, body_p, (u_p0, jnp.int32(burst)))
         u = u_p[:, :h, :w]
         if return_info:
             return u, {"cycles": it, "residual": jnp.max(jnp.abs(residual(u, g)))}
@@ -734,7 +771,9 @@ def solve_multigrid(
         u, it = state
         return vcycle(u, g, nu1, nu2, coarsest, use_pallas=use_pallas, interpret=interpret), it + 1
 
-    u, it = jax.lax.while_loop(cond, body, (u, jnp.int32(0)))
+    if burst:
+        u = jax.lax.fori_loop(0, burst, lambda _, x: body((x, 0))[0], u)
+    u, it = jax.lax.while_loop(cond, body, (u, jnp.int32(burst)))
     if return_info:
         return u, {"cycles": it, "residual": jnp.max(jnp.abs(residual(u, g)))}
     return u
