@@ -181,6 +181,42 @@ class TestIterativeSolvers:
         rate = (rn / r0) ** (1.0 / n)
         assert rate < 0.25, f"avg contraction {rate}"
 
+    def test_tol_burst_prediction(self):
+        """_tol_burst: check-free cycles stay within the tolerance contract.
+
+        The burst count must (a) be zero outside (0, 0.15) where the
+        contraction model is invalid, (b) cap at max_cycles, and (c) stay at
+        least two checks SHORT of the first cycle count that could pass at
+        the modeled worst-case 0.15/cycle contraction, so the while_loop
+        always re-verifies the tolerance.
+        """
+        import math
+
+        from seamlesscloneoptimization_tpu.solvers.multigrid import _tol_burst
+
+        assert _tol_burst(0.5, 30) == 0
+        assert _tol_burst(0.15, 30) == 0
+        assert _tol_burst(-1.0, 30) == 0
+        assert _tol_burst(1e-30, 5) == 5  # capped
+        for tol in (1e-2, 2e-4, 1e-5, 1e-7):
+            b = _tol_burst(tol, 60)
+            assert 0 <= b <= 60
+            # after b cycles the worst-case residual is still above tol
+            assert 0.15 ** b > tol, (tol, b)
+
+    @pytest.mark.parametrize("padded", [False, "q"])
+    def test_tol_burst_end_state_matches_no_burst(self, padded):
+        """Burst + while_loop must land on the same tolerance contract as the
+        pure while_loop: reported residual <= tol and cycles >= burst."""
+        from seamlesscloneoptimization_tpu.solvers.multigrid import _tol_burst
+
+        g = _rand_g(190, 296, seed=21)
+        tol = 1e-4
+        u, info = solve_multigrid(g, tol=tol, return_info=True, padded=padded)
+        rel = float(info["residual"]) / float(jnp.abs(g).max())
+        assert rel <= tol, rel
+        assert int(info["cycles"]) >= _tol_burst(tol, 30)
+
     def test_restrict_prolong_shapes(self):
         r = _rand_g(63, 127, c=1)
         rc = restrict_fw(r)
