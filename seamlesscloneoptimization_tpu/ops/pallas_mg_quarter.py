@@ -349,6 +349,10 @@ def mg_down_q_pallas(uq, gq, nu1, true_hw, geom, bw: float = 1.0,
     th, hq, wq2, hp2 = geom
     c = gq.shape[0]
     assert gq.shape == (c, 4, hq, wq2), (gq.shape, (c, 4, hq, wq2))
+    # The descent restricts the residual evaluated at RED cells only — exact
+    # because the preceding black half-sweep zeroes the black residual. With
+    # no smoothing at all that identity does not hold (black residual = g).
+    assert nu1 >= 1, "quarter-plane descent requires nu1 >= 1"
     hc = (h - 1) // 2
     if h_even is None:
         h_even = h % 2 == 0

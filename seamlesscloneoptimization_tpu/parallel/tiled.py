@@ -229,11 +229,11 @@ def solve_redblack_tiled(
         return u
 
     spec = P(None, "ty", "tx")
-    # check_vma=False: the Pallas interpreter does not propagate vma through
-    # in-kernel control flow (the CPU-mesh test path); the body is uniform in
-    # its mesh axes by construction
+    # check_vma only off for the Pallas body (pallas_call does not propagate
+    # varying-axes info); the XLA body keeps shard_map's uniformity check so
+    # a future non-uniform edit fails loudly at trace time
     return shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                     check_vma=False)(g)
+                     check_vma=not pallas_eff)(g)
 
 
 @partial(jax.jit, static_argnames=("mesh", "true_hw", "cycles", "nu1", "nu2",
@@ -284,21 +284,25 @@ def solve_multigrid_dd(
     thc, twc = th // 2, tw // 2
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" or interpret
-    k = 2 * max(nu1, nu2) + 2  # CA ghosts: sweep staleness + 2 exact layers
+    # CA ghosts: sweep staleness (2*nu1 after descent) + 3 exact layers —
+    # the residual is taken on a 2-ghost window (its neighbor sum touches
+    # layer 3) so the even-size restriction's fourth Shortley-Weller term
+    # (fine 2jc+3) exists even when the global edge coarse row is the LAST
+    # local coarse row of a tile.
+    k = max(2 * max(nu1, nu2) + 2, 2 * nu1 + 3)
 
-    def _restrict_1g(x, n_true, beta, org):
-        """Full-weighting rows of a 1-GHOSTED local block (row 0 = global
-        org-1) -> (m = rows//2 - 1) local coarse rows, with the global
+    def _restrict_2g(x, n_true, beta, org):
+        """Full-weighting rows of a 2-GHOSTED local block (row 0 = global
+        org-2) -> (m = rows//2 - 2) local coarse rows, with the global
         even-size Shortley-Weller edge weights applied by mask."""
-        m = (x.shape[1] - 2) // 2
-        a0 = x[:, 1 : 2 * m : 2, :]        # fine 2jc   (global)
-        a1 = x[:, 2 : 2 * m + 1 : 2, :]    # fine 2jc+1
-        a2 = x[:, 3 : 2 * m + 2 : 2, :]    # fine 2jc+2
+        m = (x.shape[1] - 4) // 2
+        a0 = x[:, 2 : 2 * m + 1 : 2, :]    # fine 2jc   (global)
+        a1 = x[:, 3 : 2 * m + 2 : 2, :]    # fine 2jc+1
+        a2 = x[:, 4 : 2 * m + 3 : 2, :]    # fine 2jc+2
         out = 0.25 * a0 + 0.5 * a1 + 0.25 * a2
         if n_true % 2 == 0:
-            a3 = x[:, 4 :: 2, :]           # fine 2jc+3 (m-1 rows; the edge
-            a3 = jnp.pad(a3, ((0, 0), (0, m - a3.shape[1]), (0, 0)))
-            gap = 2.0 + beta               # row is never the last local one)
+            a3 = x[:, 5 : 2 * m + 4 : 2, :]  # fine 2jc+3 (always m rows)
+            gap = 2.0 + beta
             edge = (0.25 * a0 + 0.5 * a1
                     + ((1.0 + beta) / gap * 0.5) * a2
                     + (beta / gap * 0.5) * a3)
@@ -371,18 +375,19 @@ def solve_multigrid_dd(
         def vcycle_local(u):
             # descent: nu1 CA sweeps; residual from the still-exact ghosts
             us = sweeps(u, nu1)
-            b = k - 1
-            # the restriction consumes r on a 1-ghost window; its stencil
-            # needs TRUE neighbors one layer further out — both layers are
-            # still exact in the CA ghost band (staleness 2*nu1 < k - 2)
-            u1 = us[:, b : b + th + 2, b : b + tw + 2]
-            u2 = us[:, b - 1 : b + th + 3, b - 1 : b + tw + 3]
-            g1 = gp[:, b : b + th + 2, b : b + tw + 2]
-            _, _, dom1 = gmask(th + 2, tw + 2, r0 - 1, c0 - 1)
-            r = jnp.where(dom1, g1 - (_neighbor_sum_padded(u2) - 4.0 * u1), 0.0)
+            b = k - 2
+            # the restriction consumes r on a 2-ghost window (its even-size
+            # edge stencil reaches fine 2jc+3 past the tile); the residual's
+            # neighbor sum needs u one layer further out — all three layers
+            # are still exact in the CA ghost band (staleness 2*nu1 <= k - 3)
+            u1 = us[:, b : b + th + 4, b : b + tw + 4]
+            u2 = us[:, b - 1 : b + th + 5, b - 1 : b + tw + 5]
+            g1 = gp[:, b : b + th + 4, b : b + tw + 4]
+            _, _, dom2 = gmask(th + 4, tw + 4, r0 - 2, c0 - 2)
+            r = jnp.where(dom2, g1 - (_neighbor_sum_padded(u2) - 4.0 * u1), 0.0)
             # tile-local full-weighting (rows, then lanes via transpose)
-            rr = _restrict_1g(r, Ht, 1.0, r0)
-            rc_loc = 4.0 * _restrict_1g(
+            rr = _restrict_2g(r, Ht, 1.0, r0)
+            rc_loc = 4.0 * _restrict_2g(
                 rr.transpose(0, 2, 1), Wt, 1.0, c0).transpose(0, 2, 1)
             # replicated coarse solve on the TRUE coarse grid
             rows_c = jax.lax.all_gather(rc_loc, "ty", axis=1, tiled=True)
@@ -406,8 +411,9 @@ def solve_multigrid_dd(
         return jax.lax.fori_loop(0, cycles, lambda _, x: vcycle_local(x), u)
 
     spec = P(None, "ty", "tx")
+    # check_vma: see solve_redblack_tiled — off only when Pallas runs
     return shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                     check_vma=False)(g)
+                     check_vma=not use_pallas)(g)
 
 
 

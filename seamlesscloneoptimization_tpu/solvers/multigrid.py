@@ -575,6 +575,11 @@ def solve_multigrid(
     residual checks or while_loop — 11.2 ms for k=4 at 3x1550x2398
     (verified rel. residual 1.1e-4 there; use for serving where the cycle
     count for a target quality is known). ``tol`` is ignored then.
+
+    ``tol`` is trace-time STATIC (it sizes the check-free burst, see
+    _tol_burst): pass a Python float — a traced tol raises, and each
+    distinct tol compiles its own executable. Every in-repo caller passes
+    a config constant; for a dense tol sweep use fixed ``cycles`` instead.
     """
     if u0 is not None:
         u = u0
@@ -587,7 +592,13 @@ def solve_multigrid(
         # which cuts the program (and the minutes-long tunnel compile of the
         # unrolled hierarchy) by ~cycles x at identical arithmetic
         c, h, w = g.shape
-        if padded == "q" and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+        # degenerate/small finest level: the plain-vcycle branch solves it
+        # exactly (direct eigenbasis); the fused paths assume a real
+        # hierarchy (vcycle_q has no small branch) and nu1 >= 1 (the
+        # quarter descent's red-cell residual identity)
+        small = min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1
+        if (padded == "q" and not small and nu1 >= 1
+                and _fused_level(h, w, nu1, nu2, use_pallas, interpret)):
             # quarter-plane finest level (vcycle_q): dense <-> quarters
             # conversion once per solve, carry stays split across cycles
             from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
@@ -610,7 +621,8 @@ def solve_multigrid(
                                       interpret=interpret, geom=qgeom),
                 uq0)
             u = from_quarters_pallas(uq, interpret=interpret)[:, :h, :w]
-        elif padded == "t" and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+        elif (padded == "t" and not small
+              and _fused_level(h, w, nu1, nu2, use_pallas, interpret)):
             # alternating-orientation rounded space (vcycle_t): the level
             # transfers run entirely as transpose-fused Pallas passes
             from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
@@ -624,7 +636,8 @@ def solve_multigrid(
                 lambda _, x: vcycle_t(x, g_p, h, w, nu1, nu2, coarsest,
                                       interpret=interpret, geom=geom),
                 _pad_to(u, (c, hp, wp)))[:, :h, :w]
-        elif padded and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+        elif (padded and not small
+              and _fused_level(h, w, nu1, nu2, use_pallas, interpret)):
             # rounded-space iteration: ONE pad in, ONE crop out for the
             # whole solve (see vcycle_p) instead of per-launch pad/crop
             from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
@@ -687,7 +700,15 @@ def solve_multigrid(
         return u
 
     c, h, w = g.shape
-    if padded == "q" and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+    # Degenerate/small finest level: one vcycle solves it EXACTLY via the
+    # direct eigenbasis branch — skip the fused padded/quarter machinery
+    # (vcycle_q has no small branch; vcycle_p's pad would be pure waste)
+    # and never burst more than that one exact cycle.
+    small = min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1
+    if small:
+        burst = min(burst, 1)
+    if (padded == "q" and not small and nu1 >= 1
+            and _fused_level(h, w, nu1, nu2, use_pallas, interpret)):
         from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
             from_quarters_pallas, mg_geometry_q, to_quarters_pallas)
 
@@ -721,7 +742,7 @@ def solve_multigrid(
         if return_info:
             return u, {"cycles": it, "residual": jnp.max(jnp.abs(residual(u, g)))}
         return u
-    if padded and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
+    if padded and not small and _fused_level(h, w, nu1, nu2, use_pallas, interpret):
         # rounded-space while_loop: the residual check crops (1 pass) but
         # every V-cycle saves the per-launch pad/crop passes (vcycle_p /
         # vcycle_t for padded == "t")

@@ -150,7 +150,12 @@ class TestTiledSolvers:
                     / jnp.abs(exact).max())
         assert rel < 1e-2, rel
 
-    @pytest.mark.parametrize("true_hw", [None, (61, 121)])
+    # (34, 120): global even-size edge coarse ROW = the LAST local coarse
+    # row of tile ty=0 (regression: the restriction's fourth Shortley-
+    # Weller term used to fall outside the 1-ghost window and silently
+    # drop); (60, 98): same trigger in the LANE direction (edge coarse
+    # col 47 = last local of tile tx=2).
+    @pytest.mark.parametrize("true_hw", [None, (61, 121), (34, 120), (60, 98)])
     def test_multigrid_dd_matches_single_chip(self, mesh24, true_hw):
         """Domain-decomposed multigrid (shard_map fine level + replicated
         coarse) == the single-device solver to f32 rounding; Pallas
@@ -170,7 +175,9 @@ class TestTiledSolvers:
         u_ref = solve_multigrid(jnp.asarray(gt), cycles=4)
         rel = float(jnp.abs(u_dd[:, :ht, :wt] - u_ref).max()
                     / jnp.abs(u_ref).max())
-        assert rel < 1e-4, rel
+        # 4e-5 bar: measured <= 3e-5 at every size here; a dropped edge
+        # restriction term measures 6e-5 (the regression this pins).
+        assert rel < 4e-5, rel
         assert float(jnp.abs(u_dd[:, ht:, :]).max() if ht < H else 0.0) == 0.0
         u_pl = solve_multigrid_dd(g, mesh24, true_hw=true_hw, cycles=4,
                                   use_pallas=True, interpret=True)
