@@ -29,17 +29,19 @@ from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 # DST / quarter-plane multigrid padded="q"): fixed-work mode reaches
 # PARITY at 10.6 MP (12.63 vs 12.66 ms, same-session back-to-back) and
 # 3.7 MP -> 4.09 vs 2.89 ms; in TOLERANCE mode (what solve_auto promises)
-# multigrid pays residual checks — 6.28 vs 2.89 ms at 3.7 MP, 25.4 vs
-# 12.7 ms at 10.6 MP — extrapolating the O(N)-vs-O(N^1.5) ratio to a
-# ~40 MP tol-mode crossover. The direct solve also stops being the right
-# answer on other axes there: its O(H^2+W^2) eigenbasis + O(N) GEMM
-# workspace approach the HBM budget (a 12k-square basis pair alone is
-# >1 GB) and its f32 conditioning degrades with size (rel-residual 5e-3
-# at 3.7 MP -> 1.7e-2 at 10.6 MP, vs multigrid's <= 1.6e-4 everywhere) —
-# beyond ~40 MP the iterative path is faster AND the only one that can
-# honor tol at all. Serving pipelines that know their quality bar should
-# prefer fixed-work multigrid (mg_cycles=4) from ~10 MP up.
-AUTO_CROSSOVER_PIXELS = 40_000_000
+# the check-free burst (multigrid._tol_burst) cut the residual-check tax
+# to 5.83 vs 2.89 ms at 3.7 MP and 17.3 vs 12.7 ms at 10.6 MP. Fitting
+# the measured scaling exponents (mg ~N^1.03, dst ~N^1.41 between those
+# two sizes) puts the tol-mode crossover at ~25 MP. The direct solve
+# also stops being the right answer on other axes there: its O(H^2+W^2)
+# eigenbasis + O(N) GEMM workspace approach the HBM budget (a 12k-square
+# basis pair alone is >1 GB) and its f32 conditioning degrades with size
+# (rel-residual 5e-3 at 3.7 MP -> 1.7e-2 at 10.6 MP, vs multigrid's
+# <= 1.6e-4 everywhere) — beyond the crossover the iterative path is
+# faster AND the only one that can honor tol at all. Serving pipelines
+# that know their quality bar should prefer fixed-work multigrid
+# (mg_cycles=4) from ~10 MP up.
+AUTO_CROSSOVER_PIXELS = 25_000_000
 
 
 def auto_solver_name(shape, crossover: int = AUTO_CROSSOVER_PIXELS) -> str:
