@@ -485,8 +485,18 @@ def mg_prolong_tq_pallas(ec_t, h, w, bw, out_rows, wq2,
     )(ec_t)
 
 
-def _up_q_body(planes, gq, ee_c, eo_c, i, *, nu2, th, h, w, wq2, h_even):
-    """Row-prolong of the split corrections + add + nu2 sweeps."""
+def _up_q_body(planes, gq, ee_c, eo_c, i, *, nu2, th, h, w, wq2, h_even,
+               with_residual=False):
+    """Row-prolong of the split corrections + add + nu2 sweeps.
+
+    with_residual: also return the per-lane max |residual| of the swept
+    strip (red cells only — the residual is identically zero at black
+    after the final black half-sweep, the same identity _down_q_body's
+    restriction uses). Valid on the owned rows [m, m+th): their neighbor
+    reads reach ghost row m-1, exact for staleness nu2+1 <= m-1 (nu2 <= 4
+    is the fused-level gate). This makes the tolerance check DMA-free —
+    the dense conversion + residual pass it replaces cost ~0.6
+    cycle-equivalents per check (docs/PERF.md)."""
     doms = _doms_q(i, th, h, w, wq2)
     lsh, rsh = _lane_sh_q((w + 1) // 2, wq2)
     m = _MQ
@@ -518,11 +528,25 @@ def _up_q_body(planes, gq, ee_c, eo_c, i, *, nu2, th, h, w, wq2, h_even):
     oe = jnp.where(doe, oe + cOE, oe)
     oo = jnp.where(doo, oo + cOO, oo)
     planes = _sweep_q((ee, eo, oe, oo), gq, doms, lsh, rsh, nu2)
-    return [p[m : m + th, :] for p in planes]
+    strips = [p[m : m + th, :] for p in planes]
+    if not with_residual:
+        return strips, None
+    ee, eo, oe, oo = planes
+    gee, _, _, goo = gq
+    dee, _, _, doo = doms
+    ns = ((_sub_sh(oe, True) + oe) + lsh(eo)) + eo
+    ree = jnp.where(dee, gee - (ns - 4.0 * ee), 0.0)
+    ns = ((eo + _sub_sh(eo, False)) + oe) + rsh(oe)
+    roo = jnp.where(doo, goo - (ns - 4.0 * oo), 0.0)
+    own = slice(m, m + th)
+    r2 = jnp.maximum(jnp.max(jnp.abs(ree[own, :]), axis=0),
+                     jnp.max(jnp.abs(roo[own, :]), axis=0))
+    return strips, r2
 
 
 def _up_q_kernel(uc, ut, ub, gc, gt, gb, eec, eet, eeb, eoc, eot, eob,
-                 uo_ref, *, nu2, th, hq_true, h, w, wq2, hc, h_even):
+                 uo_ref, *rmax_ref, nu2, th, hq_true, h, w, wq2, hc, h_even,
+                 with_residual=False):
     i = pl.program_id(1)
     planes = _asm_q(i, th, hq_true, wq2, uc, ut, ub)
     gq = _asm_q(i, th, hq_true, wq2, gc, gt, gb)
@@ -537,20 +561,29 @@ def _up_q_kernel(uc, ut, ub, gc, gt, gb, eec, eet, eeb, eoc, eot, eob,
 
     ee_c = asm1(eec, eet, eeb)
     eo_c = asm1(eoc, eot, eob)
-    strips = _up_q_body(planes, gq, ee_c, eo_c, i, nu2=nu2, th=th, h=h,
-                        w=w, wq2=wq2, h_even=h_even)
+    strips, r2 = _up_q_body(planes, gq, ee_c, eo_c, i, nu2=nu2, th=th, h=h,
+                            w=w, wq2=wq2, h_even=h_even,
+                            with_residual=with_residual)
     for q in range(4):
         uo_ref[0, q] = strips[q]
+    if with_residual:
+        # (1, 8, wq2) block: Mosaic wants 8-divisible sublane blocks; all 8
+        # rows carry the same lane-max (outputs must be fully written)
+        rmax_ref[0][0] = jnp.broadcast_to(r2[None, :], (8, r2.shape[0]))
 
 
 @partial(jax.jit, static_argnames=("nu2", "true_hw", "geom", "h_even",
-                                   "interpret"))
+                                   "interpret", "with_residual"))
 def mg_up_q_pallas(uq, gq, e_even, e_odd, nu2, true_hw, geom,
-                   interpret: bool = False, h_even: bool | None = None):
+                   interpret: bool = False, h_even: bool | None = None,
+                   with_residual: bool = False):
     """Quarter-plane fused ascent: split-corr prolong + add + nu2 sweeps.
 
     e_even/e_odd: (C, hp2, wq2) from mg_prolong_tq_pallas (rows [0, hc)
-    valid, zeros beyond). Returns the swept (C, 4, hq, wq2) planes.
+    valid, zeros beyond). Returns the swept (C, 4, hq, wq2) planes; with
+    ``with_residual`` also the scalar max |residual| of the swept state
+    (in-kernel red-cell residual, see _up_q_body — frees the tolerance
+    check from its dense-conversion cost).
     """
     h, w = true_hw
     th, hq, wq2, hp2 = geom
@@ -569,13 +602,26 @@ def mg_up_q_pallas(uq, gq, e_even, e_odd, nu2, true_hw, geom,
                          lambda ci, i: (ci, jnp.maximum(i * r - 1, 0), 0))
     e_bot = pl.BlockSpec((1, _MQ, wq2),
                          lambda ci, i: (ci, jnp.minimum((i + 1) * r, nb2 - 1), 0))
-    return pl.pallas_call(
+    u_spec = pl.BlockSpec((1, 4, th, wq2), lambda ci, i: (ci, 0, i, 0))
+    u_shape = jax.ShapeDtypeStruct((c, 4, hq, wq2), jnp.float32)
+    nstrips = hq // th
+    if with_residual:
+        out_specs = [u_spec,
+                     pl.BlockSpec((1, 8, wq2), lambda ci, i: (ci, i, 0))]
+        out_shape = [u_shape,
+                     jax.ShapeDtypeStruct((c, 8 * nstrips, wq2), jnp.float32)]
+    else:
+        out_specs, out_shape = u_spec, u_shape
+    out = pl.pallas_call(
         partial(_up_q_kernel, nu2=nu2, th=th, hq_true=hq_true, h=h, w=w,
-                wq2=wq2, hc=hc, h_even=h_even),
+                wq2=wq2, hc=hc, h_even=h_even, with_residual=with_residual),
         grid=(c, hq // th),
         in_specs=[ctr, top, bot] * 2 + [e_ctr, e_top, e_bot] * 2,
-        out_specs=pl.BlockSpec((1, 4, th, wq2), lambda ci, i: (ci, 0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((c, 4, hq, wq2), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_vmem_params(2 * th, 2 * wq2, interpret),
         interpret=interpret,
     )(uq, uq, uq, gq, gq, gq, e_even, e_even, e_even, e_odd, e_odd, e_odd)
+    if with_residual:
+        return out[0], jnp.max(out[1])
+    return out

@@ -776,6 +776,18 @@ class TestFusedMultigridKernels:
         u_got = np.asarray(from_quarters(uq))[:, :h, :w]
         u_x = self._xla_up(u0, g, e, 2, 1.0, 1.0)
         np.testing.assert_allclose(u_got, np.asarray(u_x), atol=1e-3, rtol=1e-5)
+        # with_residual: same planes + the in-kernel red-cell residual max
+        # equals the dense residual max (black residual is exactly zero
+        # after the final black half-sweep, up to f32 association)
+        from seamlesscloneoptimization_tpu.solvers.jacobi import residual as res_d
+
+        uq2, rmax = mg_up_q_pallas(pad_q(u0), pad_q(g), e_even, e_odd, 2,
+                                   (h, w), geom, interpret=True,
+                                   with_residual=True)
+        assert np.array_equal(np.asarray(uq2), np.asarray(uq))
+        want_r = float(jnp.abs(res_d(jnp.asarray(u_got), g)).max())
+        assert abs(float(rmax) - want_r) <= 1e-3 + 1e-4 * want_r, (
+            float(rmax), want_r)
 
     def test_quarter_solve_matches_t(self):
         """padded='q' == padded='t' contraction (identical algorithm; the
@@ -816,6 +828,31 @@ class TestFusedMultigridKernels:
                                         return_info=True)
         assert np.array_equal(np.asarray(got_t), np.asarray(want_t))
         assert int(info_g["cycles"]) == int(info_w["cycles"])
+
+    def test_quarter_tol_fused_check_contract(self):
+        """padded='q' tolerance mode (fused in-kernel residual check) honors
+        the tolerance contract and burns the same cycle count as the plain
+        dense-checked loop (the fused red-cell residual equals the dense one
+        up to f32 association; the 0.5% threshold shave absorbs it)."""
+        from seamlesscloneoptimization_tpu.solvers.jacobi import residual
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        for hw, tol in [((512, 520), 1e-3), ((511, 517), 2e-4)]:
+            g = _rand((1,) + hw, seed=17)
+            gn = float(jnp.abs(g).max())
+            u_q, info_q = solve_multigrid(g, tol=tol, use_pallas=True,
+                                          interpret=True, padded="q",
+                                          return_info=True)
+            assert float(info_q["residual"]) <= tol * gn, (
+                hw, float(info_q["residual"]) / gn)
+            # the dense residual of the returned state agrees with what the
+            # while_loop's fused check saw
+            rel = float(jnp.abs(residual(u_q, g)).max()) / gn
+            assert rel <= tol, (hw, rel)
+            _, info_p = solve_multigrid(g, tol=tol, use_pallas=True,
+                                        interpret=True, return_info=True)
+            assert abs(int(info_q["cycles"]) - int(info_p["cycles"])) <= 1, (
+                int(info_q["cycles"]), int(info_p["cycles"]))
 
     def test_blocked_multi_launch_sweeps(self):
         """>4 sweeps in blocked mode (the repad-free relaunch path)."""
