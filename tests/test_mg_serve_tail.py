@@ -1,0 +1,233 @@
+"""The multigrid Pallas serve tail (VERDICT r3 missing #3).
+
+The iterative (huge-image) path must take the same guarded clamp+cast +
+tile-local paste exit as the dst_gemm fast path — the reference's
+``post_processing`` is one fused kernel regardless of solver
+(seamlessClone-CUDA/seamlessClone_imp.cpp:2078-2103).
+"""
+
+import contextlib
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _rand(shape, seed=0, scale=50.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+
+def _interp_mocks():
+    """Patch the serve-tail kernels to interpret mode (CPU suite)."""
+    from seamlesscloneoptimization_tpu.ops import pallas_kernels as PK
+
+    def force_interp(orig):
+        return lambda *a, **k: orig(*a, **{**k, "interpret": True})
+
+    return [
+        mock.patch.object(PK, name, force_interp(getattr(PK, name)))
+        for name in ("preprocess_rhs_pallas", "clamp_cast_pallas",
+                     "clamp_cast_guarded_pallas", "paste_interior_pallas",
+                     # the dst_gemm serve chain (the 'auto' engine test
+                     # resolves below-crossover ROIs to dst_gemm)
+                     "preprocess_rhs_transposed_pallas", "erode3_pallas",
+                     "transpose_pallas", "fold_minor_pallas",
+                     "unfold_minor_pallas", "transpose_pair_pallas",
+                     "unfold_transpose_pallas", "unfold_clamp_guarded_pallas")
+    ]
+
+
+class TestPaddedOutput:
+    def test_quarter_padded_output_matches_cropped(self):
+        """padded_output=True: same solve, un-cropped rounded-space array,
+        exact zeros outside the true domain (the guarded-clamp precondition)."""
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        for hw in [(512, 520), (511, 517)]:
+            g = _rand((1,) + hw, seed=5)
+            want = solve_multigrid(g, cycles=2, use_pallas=True,
+                                   interpret=True, padded="q")
+            got_p = solve_multigrid(g, cycles=2, use_pallas=True,
+                                    interpret=True, padded="q",
+                                    padded_output=True)
+            h, w = hw
+            assert got_p.shape[1] % 128 == 0 and got_p.shape[2] % 128 == 0
+            assert np.array_equal(np.asarray(got_p[:, :h, :w]), np.asarray(want))
+            assert not np.asarray(got_p[:, h:, :]).any()
+            assert not np.asarray(got_p[:, :, w:]).any()
+
+    def test_tol_mode_padded_output(self):
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        g = _rand((1, 512, 520), seed=6)
+        want = solve_multigrid(g, tol=1e-3, use_pallas=True, interpret=True,
+                               padded="q")
+        got_p = solve_multigrid(g, tol=1e-3, use_pallas=True, interpret=True,
+                                padded="q", padded_output=True)
+        h, w = 512, 520
+        assert np.array_equal(np.asarray(got_p[:, :h, :w]), np.asarray(want))
+
+    def test_plain_branch_returns_exact_size(self):
+        """Non-padded modes: padded_output degrades to the exact-size
+        solution (the pipeline pads); small grids likewise."""
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        g = _rand((1, 40, 56), seed=7)
+        a = solve_multigrid(g, cycles=3)
+        b = solve_multigrid(g, cycles=3, padded_output=True)
+        assert b.shape == g.shape
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_padded_output_excludes_return_info(self):
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        with pytest.raises(ValueError, match="exclusive"):
+            solve_multigrid(jnp.zeros((1, 16, 16)), cycles=1,
+                            padded_output=True, return_info=True)
+
+
+class TestCloneRoiMgTail:
+    def _roi(self, airplane, sky, irregular_mask):
+        from seamlesscloneoptimization_tpu.core import reference as R
+
+        _, st = R.seamless_clone_np(
+            airplane, sky, irregular_mask.copy(), (700, 300), return_stages=True)
+        left, top = st["left_top"]
+        _, _, bw, bh = st["bbox"]
+        dest = jnp.asarray(np.transpose(
+            sky[top : top + bh, left : left + bw], (2, 0, 1)).astype(np.uint8))
+        patch = jnp.asarray(np.transpose(st["patch"], (2, 0, 1)).astype(np.uint8))
+        mask = jnp.asarray(st["mask_roi"])
+        return dest, patch, mask
+
+    def test_mg_tail_matches_xla_postprocess(self, airplane, sky, irregular_mask):
+        """clone_roi(solver_name='multigrid', use_pallas_post): identical
+        clamp/truncate-cast semantics -> bit-equal to the XLA postprocess."""
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+        from seamlesscloneoptimization_tpu.solvers import solve_multigrid
+
+        dest, patch, mask = self._roi(airplane, sky, irregular_mask)
+        kw = {"cycles": 4}
+        ref = np.asarray(P.clone_roi(dest, patch, mask, 1, solve_multigrid, kw))
+        with contextlib.ExitStack() as es:
+            for p in _interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            got = np.asarray(P.clone_roi(
+                dest, patch, mask, 1, solve_multigrid, kw,
+                use_pallas_pre=True, use_pallas_post=True,
+                solver_name="multigrid"))
+        assert got.shape == ref.shape
+        # border ring is exactly dest; interior bit-equal (same solver, same
+        # cast semantics, bit-equal Pallas preprocess)
+        assert np.array_equal(got, ref)
+
+    def test_mg_tail_guarded_paste(self, airplane, sky, irregular_mask):
+        """The planar serve exit: guarded slab + paste_interior_pallas
+        reproduces the XLA blend at the right offset."""
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+        from seamlesscloneoptimization_tpu.ops import pallas_kernels as PK
+        from seamlesscloneoptimization_tpu.solvers import solve_multigrid
+
+        dest, patch, mask = self._roi(airplane, sky, irregular_mask)
+        kw = {"cycles": 4}
+        ref = np.asarray(P.clone_roi(dest, patch, mask, 1, solve_multigrid, kw))
+        c, bh, bw = dest.shape
+        with contextlib.ExitStack() as es:
+            for p in _interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            slab, tag = P.clone_roi(
+                dest, patch, mask, 1, solve_multigrid, kw,
+                use_pallas_pre=True, use_pallas_post=True,
+                solver_name="multigrid", return_inset=True, guarded=True)
+            assert tag == "guarded"
+            out = PK.paste_interior_pallas(
+                dest, slab, jnp.int32(1), jnp.int32(1), bh - 2, bw - 2,
+                interpret=True)
+        assert np.array_equal(np.asarray(out), ref)
+
+    def test_engine_mg_planar_serve_matches(self, airplane, sky, irregular_mask):
+        """The planar serve step (mg guarded clamp + tile-local Pallas
+        paste) must match the plain mg engine bit-for-bit — the 8K serve
+        configuration's exit path."""
+        import jax.numpy as jnp
+
+        from seamlesscloneoptimization_tpu.core.config import CloneConfig
+        from seamlesscloneoptimization_tpu.core.engine import (
+            SeamlessClone,
+            prepare_inputs,
+        )
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+
+        eng = SeamlessClone(CloneConfig(solver="multigrid", mg_cycles=4))
+        m, (x0, y0), (left, top), (bh, bw) = prepare_inputs(
+            irregular_mask.copy(), airplane.shape, sky.shape, (700, 300))
+        with contextlib.ExitStack() as es:
+            for p in _interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            fn = eng._compiled(airplane.shape, (3,) + sky.shape[:2], (bh, bw),
+                               1, planar_dst=True)
+            out_p = fn(jnp.asarray(airplane),
+                       jnp.transpose(jnp.asarray(sky), (2, 0, 1)),
+                       jnp.asarray(m), np.array([x0, y0], np.int32),
+                       np.array([left, top], np.int32))
+            got = np.asarray(jnp.transpose(out_p, (1, 2, 0)))
+        want = np.asarray(SeamlessClone(CloneConfig(
+            solver="multigrid", mg_cycles=4, use_pallas_preprocess=False,
+            use_pallas_postprocess=False)).run(
+                airplane, sky, irregular_mask.copy(), (700, 300)))
+        assert np.array_equal(got, want)
+        assert np.array_equal(got[0, :, :], sky[0, :, :])
+
+    def test_engine_mg_full_pallas_matches_plain(self, airplane, sky, irregular_mask):
+        """Engine-level: multigrid + default (all-Pallas) config == the
+        XLA-postprocess multigrid engine, bit-for-bit."""
+        from seamlesscloneoptimization_tpu.core.config import CloneConfig
+        from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+
+        eng = SeamlessClone(CloneConfig(solver="multigrid", mg_cycles=4))
+        with contextlib.ExitStack() as es:
+            for p in _interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            out = np.asarray(eng.run(airplane, sky, irregular_mask.copy(),
+                                     (700, 300)))
+        want = np.asarray(SeamlessClone(CloneConfig(
+            solver="multigrid", mg_cycles=4, use_pallas_preprocess=False,
+            use_pallas_postprocess=False)).run(
+                airplane, sky, irregular_mask.copy(), (700, 300)))
+        assert np.array_equal(out, want)
+
+
+class TestAutoResolvesInEngine:
+    def test_auto_selects_per_shape_and_uses_fast_tail(self, airplane, sky,
+                                                       irregular_mask):
+        """solver='auto' resolves to a concrete solver at compile time, so
+        the Pallas serve tail applies on both sides of the crossover."""
+        from seamlesscloneoptimization_tpu.core.config import CloneConfig
+        from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+
+        eng = SeamlessClone(CloneConfig(solver="auto"))
+        with contextlib.ExitStack() as es:
+            for p in _interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            out = np.asarray(eng.run(airplane, sky, irregular_mask.copy(),
+                                     (700, 300)))
+        want = np.asarray(SeamlessClone(CloneConfig()).run(
+            airplane, sky, irregular_mask.copy(), (700, 300)))
+        # below the crossover auto == dst_gemm identically configured
+        diff = np.abs(out.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, diff.max()

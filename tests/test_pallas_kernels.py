@@ -150,7 +150,11 @@ class TestPostprocessTransposedPallas:
             calls.append(1)
             return orig(*a, **{**k, "interpret": True})
 
-        eng = SeamlessClone(CloneConfig(bbox_bucket=128, use_pallas_postprocess=True))
+        # preprocess explicitly OFF: this test exercises the post-only
+        # (transposed-output) branch, and only patches the post kernel
+        eng = SeamlessClone(CloneConfig(bbox_bucket=128,
+                                        use_pallas_preprocess=False,
+                                        use_pallas_postprocess=True))
         with mock.patch.object(PK, "postprocess_transposed_pallas", interp), \
                 mock.patch.object(P, "_pallas_backend_available", lambda: True):
             out = np.asarray(eng.run(airplane, sky, irregular_mask.copy(), (700, 300)))
@@ -788,6 +792,64 @@ class TestFusedMultigridKernels:
         want_r = float(jnp.abs(res_d(jnp.asarray(u_got), g)).max())
         assert abs(float(rmax) - want_r) <= 1e-3 + 1e-4 * want_r, (
             float(rmax), want_r)
+
+    @pytest.mark.parametrize("hw", [(64, 130), (63, 127)])
+    def test_fused_ud_matches_up_then_down(self, hw):
+        """mg_ud_q_pallas == mg_up_q_pallas followed by mg_down_q_pallas,
+        BITWISE (same arithmetic; the unfused pair re-fetches post-up
+        ghosts the fused window already holds exactly)."""
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            mg_down_q_pallas, mg_geometry_q, mg_ud_q_pallas, mg_up_q_pallas,
+            to_quarters)
+
+        h, w = hw
+        hc = (h - 1) // 2
+        g = _rand((3, h, w), seed=41)
+        u0 = _rand((3, h, w), seed=42, scale=10.0)
+        geom = mg_geometry_q(h, w, th=16)
+        th, hq, wq2, hp2 = geom
+
+        def pad_q(x):
+            xp = jnp.asarray(np.pad(np.asarray(x), (
+                (0, 0), (0, 2 * hq - h), (0, 2 * wq2 - w))))
+            return to_quarters(xp)
+
+        rng = np.random.default_rng(43)
+        e_e = np.zeros((3, hp2, wq2), np.float32)
+        e_o = np.zeros((3, hp2, wq2), np.float32)
+        e_e[:, :hc, :] = rng.normal(size=(3, hc, wq2)) * 5
+        e_o[:, :hc, :] = rng.normal(size=(3, hc, wq2)) * 5
+        e_e, e_o = jnp.asarray(e_e), jnp.asarray(e_o)
+        uq0, gq = pad_q(u0), pad_q(g)
+        up = mg_up_q_pallas(uq0, gq, e_e, e_o, 2, (h, w), geom,
+                            interpret=True)
+        want = mg_down_q_pallas(up, gq, 1, (h, w), geom, interpret=True)
+        got = mg_ud_q_pallas(uq0, gq, e_e, e_o, 2, 1, (h, w), geom,
+                             interpret=True)
+        for a, b in zip(got, want):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_solve_matches_unfused_loop(self):
+        """solve_multigrid's fused fixed-cycles pipeline == the plain
+        vcycle_q loop, bitwise, zero and warm starts."""
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            from_quarters_pallas, mg_geometry_q, to_quarters_pallas)
+        from seamlesscloneoptimization_tpu.solvers.multigrid import (
+            _pad_to, solve_multigrid, vcycle_q)
+
+        h, w = 512, 520
+        g = _rand((1, h, w), seed=44)
+        got = solve_multigrid(g, cycles=3, use_pallas=True, interpret=True,
+                              padded="q")
+        qgeom = mg_geometry_q(h, w)
+        _, hq, wq2, _ = qgeom
+        g_q = to_quarters_pallas(_pad_to(g, (1, 2 * hq, 2 * wq2)),
+                                 interpret=True)
+        uq = jnp.zeros((1, 4, hq, wq2), jnp.float32)
+        for _ in range(3):
+            uq = vcycle_q(uq, g_q, h, w, 1, 2, 63, interpret=True, geom=qgeom)
+        want = np.asarray(from_quarters_pallas(uq, interpret=True))[:, :h, :w]
+        assert np.array_equal(np.asarray(got), want)
 
     def test_quarter_solve_matches_t(self):
         """padded='q' == padded='t' contraction (identical algorithm; the
