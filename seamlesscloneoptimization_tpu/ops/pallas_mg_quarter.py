@@ -486,7 +486,7 @@ def mg_prolong_tq_pallas(ec_t, h, w, bw, out_rows, wq2,
 
 
 def _up_q_body(planes, gq, ee_c, eo_c, i, *, nu2, th, h, w, wq2, h_even,
-               with_residual=False):
+               with_residual=False, return_windows=False):
     """Row-prolong of the split corrections + add + nu2 sweeps.
 
     with_residual: also return the per-lane max |residual| of the swept
@@ -528,9 +528,10 @@ def _up_q_body(planes, gq, ee_c, eo_c, i, *, nu2, th, h, w, wq2, h_even,
     oe = jnp.where(doe, oe + cOE, oe)
     oo = jnp.where(doo, oo + cOO, oo)
     planes = _sweep_q((ee, eo, oe, oo), gq, doms, lsh, rsh, nu2)
-    strips = [p[m : m + th, :] for p in planes]
+    out = (list(planes) if return_windows
+           else [p[m : m + th, :] for p in planes])
     if not with_residual:
-        return strips, None
+        return out, None
     ee, eo, oe, oo = planes
     gee, _, _, goo = gq
     dee, _, _, doo = doms
@@ -541,7 +542,7 @@ def _up_q_body(planes, gq, ee_c, eo_c, i, *, nu2, th, h, w, wq2, h_even,
     own = slice(m, m + th)
     r2 = jnp.maximum(jnp.max(jnp.abs(ree[own, :]), axis=0),
                      jnp.max(jnp.abs(roo[own, :]), axis=0))
-    return strips, r2
+    return out, r2
 
 
 def _up_q_kernel(uc, ut, ub, gc, gt, gb, eec, eet, eeb, eoc, eot, eob,
@@ -625,3 +626,100 @@ def mg_up_q_pallas(uq, gq, e_even, e_odd, nu2, true_hw, geom,
     if with_residual:
         return out[0], jnp.max(out[1])
     return out
+
+
+def _ud_q_kernel(uc, ut, ub, gc, gt, gb, eec, eet, eeb, eoc, eot, eob,
+                 uo_ref, rhe_ref, rho_ref, *, nu2, nu1, th, hq_true, h, w,
+                 wq2, hc, h_even, bw):
+    """Fused ASCENT (cycle k) + DESCENT (cycle k+1) on one ghosted window.
+
+    The post-up state never round-trips HBM between cycles: the up body
+    returns its full swept WINDOWS (outer 2*nu2 dense layers stale) and the
+    down body continues in-VMEM — its owned-row sweeps, residual and
+    restriction all read layers the combined staleness budget leaves exact
+    (nu2 + nu1 quarter rows + the restrict's jc+1 fetch <= _MQ = 8 for the
+    fused-level gate nu1 <= 2, nu2 <= 4). Bit-equal to mg_up_q_pallas
+    followed by mg_down_q_pallas (identical arithmetic on identical exact
+    values; the unfused pair re-fetches post-up ghosts that this window
+    already holds exactly). Saves one full fine-level u read + write + g
+    read per V-cycle — the fine level is the 8K solve's dominant cost
+    (docs/PERF.md: 0.71/0.75 ms launches vs 0.56 DMA roofs).
+    """
+    i = pl.program_id(1)
+    planes = _asm_q(i, th, hq_true, wq2, uc, ut, ub)
+    gq = _asm_q(i, th, hq_true, wq2, gc, gt, gb)
+    m = _MQ
+    rt = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (m, wq2), 0)
+    rb = (i + 1) * th + jax.lax.broadcasted_iota(jnp.int32, (m, wq2), 0)
+
+    def asm1(ctr, top, bot):
+        wtop = jnp.where(rt >= 0, top[0], 0.0)
+        wbot = jnp.where(rb < hc, bot[0], 0.0)
+        return jnp.concatenate([wtop, ctr[0], wbot], axis=0)
+
+    ee_c = asm1(eec, eet, eeb)
+    eo_c = asm1(eoc, eot, eob)
+    windows, _ = _up_q_body(planes, gq, ee_c, eo_c, i, nu2=nu2, th=th, h=h,
+                            w=w, wq2=wq2, h_even=h_even, return_windows=True)
+    strips, rh_e, rh_o = _down_q_body(windows, gq, i, nu1=nu1, th=th, h=h,
+                                      w=w, wq2=wq2, hc=hc, h_even=h_even,
+                                      bw=bw)
+    for q in range(4):
+        uo_ref[0, q] = strips[q]
+    rhe_ref[0] = rh_e
+    rho_ref[0] = rh_o
+
+
+@partial(jax.jit, static_argnames=("nu2", "nu1", "true_hw", "geom", "h_even",
+                                   "bw", "interpret"))
+def mg_ud_q_pallas(uq, gq, e_even, e_odd, nu2, nu1, true_hw, geom,
+                   bw: float = 1.0, interpret: bool = False,
+                   h_even: bool | None = None):
+    """Fused cycle-boundary launch: prolong+correct+nu2 sweeps of cycle k,
+    then nu1 sweeps + red residual + row-restriction of cycle k+1.
+
+    Inputs/outputs exactly match mg_up_q_pallas's inputs and
+    mg_down_q_pallas's outputs: (swept uq, rh_e, rh_o). Used by the
+    fixed-cycles and burst (check-free) portions of solve_multigrid's
+    quarter path, where no tolerance decision sits between the two halves.
+    """
+    h, w = true_hw
+    th, hq, wq2, hp2 = geom
+    c = uq.shape[0]
+    hc = (h - 1) // 2
+    if h_even is None:
+        h_even = h % 2 == 0
+    hq_true = (h + 1) // 2
+    # combined staleness must stay inside the ghost band: nu2 + nu1 quarter
+    # rows of sweeps + 1 residual layer + 1 restrict fetch <= _MQ
+    assert nu1 >= 1 and nu1 + nu2 + 2 <= _MQ, (nu1, nu2)
+    assert uq.shape == (c, 4, hq, wq2) and gq.shape == uq.shape
+    assert e_even.shape == (c, hp2, wq2) and e_odd.shape == e_even.shape
+    ctr, top, bot = _ghost_specs_q(th, hq, wq2)
+    nb2 = hp2 // _MQ
+    r = th // _MQ
+    e_ctr = pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0))
+    e_top = pl.BlockSpec((1, _MQ, wq2),
+                         lambda ci, i: (ci, jnp.maximum(i * r - 1, 0), 0))
+    e_bot = pl.BlockSpec((1, _MQ, wq2),
+                         lambda ci, i: (ci, jnp.minimum((i + 1) * r, nb2 - 1), 0))
+    out_specs = [
+        pl.BlockSpec((1, 4, th, wq2), lambda ci, i: (ci, 0, i, 0)),
+        pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
+        pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((c, 4, hq, wq2), jnp.float32),
+        jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
+        jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
+    ]
+    return pl.pallas_call(
+        partial(_ud_q_kernel, nu2=nu2, nu1=nu1, th=th, hq_true=hq_true, h=h,
+                w=w, wq2=wq2, hc=hc, h_even=h_even, bw=bw),
+        grid=(c, hq // th),
+        in_specs=[ctr, top, bot] * 2 + [e_ctr, e_top, e_bot] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_vmem_params(2 * th, 2 * wq2, interpret),
+        interpret=interpret,
+    )(uq, uq, uq, gq, gq, gq, e_even, e_even, e_even, e_odd, e_odd, e_odd)
