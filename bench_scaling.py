@@ -35,6 +35,9 @@ def run_one(n_devices: int, tile: int, sweeps: int, path: str = "redblack") -> d
     path='multigrid': 4 GSPMD-partitioned V(1,2) cycles (fixed-work mode,
     the serving configuration) — XLA inserts the halo collectives and
     coarse-level reshards itself (SURVEY §2.18 item 3).
+    path='dd': 4 domain-decomposed V(1,2) cycles (shard_map fine level with
+    CA ppermute halos + per-shard Mosaic sweeps + replicated coarse) — the
+    flagship path seamless_clone_tiled runs (VERDICT r3 missing #1).
     path='batch': DATA-parallel fused batch clone — 8 independent jobs of
     min(tile, 256)^2 interior PER DEVICE (capped: each job is a full DST
     direct solve, O(n^3) on the CPU backend, so tile-sized jobs would take
@@ -95,6 +98,12 @@ def run_one(n_devices: int, tile: int, sweeps: int, path: str = "redblack") -> d
         work = 4  # cycles; each V(1,2) ~ 4 fine-sweep equivalents of traffic
         fn = lambda: solve_multigrid_sharded(g, mesh, cycles=work)
         unit = "mp_cycles_per_s"
+    elif path == "dd":
+        from seamlesscloneoptimization_tpu.parallel import solve_multigrid_dd
+
+        work = 4
+        fn = lambda: solve_multigrid_dd(g, mesh, cycles=work)
+        unit = "mp_cycles_per_s"
     else:
         work = sweeps  # fixed work: exactly `sweeps` sweeps (tol=0 never converges)
         fn = lambda: solve_redblack_tiled(
@@ -124,7 +133,8 @@ def main():
     p.add_argument("--devices", type=int, default=None, help="run one size (child mode)")
     p.add_argument("--tile", type=int, default=1024)
     p.add_argument("--sweeps", type=int, default=100)
-    p.add_argument("--path", choices=("redblack", "multigrid", "batch", "both"),
+    p.add_argument("--path",
+                   choices=("redblack", "multigrid", "dd", "batch", "both"),
                    default="both")
     args = p.parse_args()
 
@@ -132,7 +142,7 @@ def main():
         print(json.dumps(run_one(args.devices, args.tile, args.sweeps, args.path)))
         return
 
-    paths = (("redblack", "multigrid", "batch") if args.path == "both"
+    paths = (("redblack", "multigrid", "dd", "batch") if args.path == "both"
              else (args.path,))
     for path in paths:
         results = []

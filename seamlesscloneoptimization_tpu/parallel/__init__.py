@@ -3,6 +3,7 @@ from seamlesscloneoptimization_tpu.parallel.tiled import (
     halo_exchange,
     solve_multigrid_dd,
     solve_multigrid_sharded,
+    solve_poisson_dd,
     solve_redblack_tiled,
 )
 from seamlesscloneoptimization_tpu.parallel.batch import (
@@ -21,6 +22,7 @@ __all__ = [
     "solve_redblack_tiled",
     "solve_multigrid_dd",
     "solve_multigrid_sharded",
+    "solve_poisson_dd",
     "clone_roi_batch",
     "seamless_clone_batch_fused",
     "seamless_clone_tiled",

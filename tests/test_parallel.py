@@ -190,6 +190,54 @@ class TestTiledSolvers:
         rel = float(jnp.abs(u - exact).max() / jnp.abs(exact).max())
         assert rel < 1e-3, rel
 
+    def test_multigrid_dd_tolerance_mode(self, mesh24):
+        """DD tol mode (burst + pmax-voted while_loop) honors the tolerance
+        contract and matches the exact solve (VERDICT r3 next #2)."""
+        from seamlesscloneoptimization_tpu.parallel.tiled import solve_multigrid_dd
+        from seamlesscloneoptimization_tpu.solvers.jacobi import residual
+
+        g = _rand_g(64, 128, seed=14)
+        tol = 1e-5
+        u = solve_multigrid_dd(g, mesh24, tol=tol, use_pallas=False)
+        gn = float(jnp.abs(g).max())
+        r = float(jnp.abs(residual(u, g)).max()) / gn
+        assert r <= tol * 1.01, r
+        exact = solve_dst_gemm(g)
+        rel = float(jnp.abs(u - exact).max() / jnp.abs(exact).max())
+        assert rel < 1e-3, rel
+
+    def test_solve_poisson_dd_arbitrary_size(self, mesh24):
+        """The padded front door: any (H, W), zero-pad embedding, exact crop."""
+        from seamlesscloneoptimization_tpu.parallel.tiled import solve_poisson_dd
+        from seamlesscloneoptimization_tpu.solvers.jacobi import residual
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        for hw in [(45, 90), (61, 121), (10, 17)]:
+            rng = np.random.default_rng(sum(hw))
+            g = jnp.asarray((rng.normal(size=(3,) + hw) * 50).astype(np.float32))
+            u = solve_poisson_dd(g, mesh24, tol=1e-5, use_pallas=False)
+            assert u.shape == g.shape
+            r = float(jnp.abs(residual(u, g)).max()) / float(jnp.abs(g).max())
+            assert r <= 1e-5 * 1.01, (hw, r)
+            u_ref = solve_multigrid(g, tol=1e-5)
+            rel = float(jnp.abs(u - u_ref).max() / (jnp.abs(u_ref).max() + 1e-30))
+            assert rel < 1e-3, (hw, rel)
+
+    def test_clone_tiled_dd_matches_gspmd(self, airplane, sky, full_mask):
+        """The flagship DD path == the GSPMD A/B path <= 1 LSB."""
+        from seamlesscloneoptimization_tpu.parallel import (
+            make_tile_mesh,
+            seamless_clone_tiled,
+        )
+
+        mesh = make_tile_mesh(jax.devices()[:8], (2, 4))
+        a = seamless_clone_tiled(airplane, sky, full_mask.copy(), (800, 150),
+                                 mesh=mesh, tol=1e-6, path="dd")
+        b = seamless_clone_tiled(airplane, sky, full_mask.copy(), (800, 150),
+                                 mesh=mesh, tol=1e-6, path="gspmd")
+        d = np.abs(a.astype(int) - b.astype(int)).max()
+        assert d <= 1, d
+
 
 class TestBatch:
     def test_fused_batch_matches_sequential(self, airplane, sky):
