@@ -99,6 +99,50 @@ def pallas_parity_check(eng):
     return dmax
 
 
+def batch_metric(device, loops: int = 20):
+    """BASELINE "64 masks into one 4K destination": ms per fused batch step.
+
+    Device-resident inputs, each step's output chained as the next step's
+    destination (the tunnel runtime is dataflow-lazy — unchained steps may
+    never execute), one scalar-fetch sync, rpc latency subtracted. The
+    figure previously lived only in docs/PERF.md; the driver now records it
+    every round (VERDICT r3 next #7).
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from seamlesscloneoptimization_tpu.parallel.batch import clone_batch_composite
+    from seamlesscloneoptimization_tpu.solvers import solve_dst_gemm
+
+    rng = np.random.default_rng(0)
+    n, b = 64, 130  # 64 jobs, 128x128 interiors
+    hd, wd = 2160, 3840
+    dst = jax.device_put(rng.integers(0, 256, (hd, wd, 3)).astype(np.uint8), device)
+    srcs = jax.device_put(rng.integers(0, 256, (n, b, b, 3)).astype(np.uint8), device)
+    masks = jax.device_put(np.full((n, b, b), 255, np.uint8), device)
+    lts = jax.device_put(np.array(
+        [[(i % 8) * 470 + 20, (i // 8) * 260 + 20] for i in range(n)],
+        np.int32), device)
+    fn = jax.jit(partial(clone_batch_composite, flags=1,
+                         solver=solve_dst_gemm, roi_hw=(b, b)))
+    sync = jax.jit(lambda x: jnp.max(x))
+    out = fn(dst, srcs, masks, lts)
+    float(sync(out))  # warm-up compile + sync-op compile
+    f = jax.jit(lambda x: x + 1)
+    float(f(jnp.float32(1.0)))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        float(f(jnp.float32(1.0)))
+    rpc_ms = (time.perf_counter() - t0) / 8 * 1e3
+    t0 = time.perf_counter()
+    for _ in range(loops):
+        out = fn(out, srcs, masks, lts)
+    float(sync(out))
+    return max(((time.perf_counter() - t0) * 1e3 - rpc_ms) / loops, 1e-6)
+
+
 def main():
     solver = sys.argv[1] if len(sys.argv) > 1 else "dst_gemm"
     loops = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -114,18 +158,20 @@ def main():
 
     import os
 
-    # Defaults flipped on from the 2026-08-18 hardware A/Bs (docs/PERF.md):
-    # folded DST 4.07 -> 3.37 ms/frame at the headline with diff_max still 1;
-    # rounded-space multigrid 11.0 -> 8.8 ms (headline) / 48.8 -> 29.1 ms (8K).
-    folded = os.environ.get("SCL_DST_FOLDED", "1") == "1"  # A/B knob
-    # A/B knob: q (quarter-plane, default) | t (dense transpose-fused) |
+    # The bench measures the SHIPPED DEFAULTS (CloneConfig: precision="high",
+    # dst_folded, mg_padded="q", full Pallas serve chain — all flipped on
+    # from the 2026-08-18/20 hardware A/Bs, docs/PERF.md; VERDICT r3 next
+    # #1). Env knobs override for A/B only:
+    cfg_kwargs = dict(solver=solver, tol=2e-4, donate_dst=True)
+    folded_env = os.environ.get("SCL_DST_FOLDED")  # "0"/"1"
+    if folded_env is not None:
+        cfg_kwargs["dst_folded"] = folded_env == "1"
+    # q (quarter-plane, default) | t (dense transpose-fused) |
     # 1 (round-2 vcycle_p) | 0 (element mode)
-    mg_env = os.environ.get("SCL_MG_PADDED", "q")
-    mg_padded = {"0": False, "1": True}.get(mg_env, mg_env)
-    eng = SeamlessClone(CloneConfig(solver=solver, tol=2e-4, donate_dst=True, precision="high",
-                                    use_pallas_preprocess=True, use_pallas_postprocess=True,
-                                    use_pallas_smoother=True, dst_folded=folded,
-                                    mg_padded=mg_padded))
+    mg_env = os.environ.get("SCL_MG_PADDED")
+    if mg_env is not None:
+        cfg_kwargs["mg_padded"] = {"0": False, "1": True}.get(mg_env, mg_env)
+    eng = SeamlessClone(CloneConfig(**cfg_kwargs))
     _, serve_ms = eng.timed_serve(src, dst, mask, center, loops=loops)
 
     # one per-call e2e sample including host->device uploads (reference
@@ -133,6 +179,14 @@ def main():
     # block_until_ready can lie through the tunnel (see CLAUDE.md)
     import jax.numpy as jnp
 
+    # The non-planar program is DISTINCT from the serve loop's planar one:
+    # warm it first (one untimed run + sync) so the sample measures
+    # H2D + solve, not a fresh 20-60 s tunnel XLA compile (VERDICT r3 weak
+    # #2: r03's 15.2 s "e2e" was a compile). The compile cost is reported
+    # separately.
+    t0 = time.perf_counter()
+    float(jnp.max(eng.run(src, dst, mask, center)))
+    compile_ms = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
     out = eng.run(src, dst, mask, center)
     float(jnp.max(out))
@@ -175,6 +229,13 @@ def main():
                 f"PERF.md pins 0.397)")
     parity_max = pallas_parity_check(eng) if solver == "dst_gemm" else None
 
+    batch_ms = None
+    if solver == "dst_gemm" and os.environ.get("SCL_BENCH_BATCH", "1") == "1":
+        try:
+            batch_ms = round(batch_metric(eng.device), 3)
+        except Exception as e:  # never let the extra kill the headline line
+            print(f"batch_metric failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -186,11 +247,12 @@ def main():
                 "vs_baseline": round(mps / BASELINE_MPS_V100_2400, 3) if is_default_size else 0.0,
                 "extras": {
                     "solver": solver,
-                    "precision": "high",
-                    "dst_folded": folded,
-                    "mg_padded": mg_padded,
+                    "precision": eng.config.precision,
+                    "dst_folded": eng.config.dst_folded,
+                    "mg_padded": eng.config.mg_padded,
                     f"serve_ms_per_frame_{size_tag}": round(serve_ms, 3),
                     f"e2e_ms_with_h2d_{size_tag}": round(e2e_ms, 3),
+                    "nonplanar_first_call_ms": round(compile_ms, 1),
                     "sync_overhead_ms": round(eng.metrics.get("sync_overhead_ms", 0.0), 2),
                     "device_memory_bytes": eng.metrics.get("device_memory_bytes", 0),
                     "accuracy_300x194_diff_sum": diff_sum,
@@ -198,6 +260,7 @@ def main():
                     "accuracy_2400x1552_mean_abs": (
                         round(mean_abs_big, 4) if mean_abs_big is not None else None),
                     "pallas_vs_xla_on_tpu_diff_max": parity_max,
+                    "fused_batch_64x128_into_4k_ms": batch_ms,
                     "baseline_mps_v100_fft": round(BASELINE_MPS_V100_2400, 1),
                     "device": str(eng.device),
                     "loops": loops,
