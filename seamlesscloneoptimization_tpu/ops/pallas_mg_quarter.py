@@ -58,7 +58,10 @@ def mg_geometry_q(h: int, w: int, th: int | None = None):
 
     if th is None:
         th_env = os.environ.get("SCL_MG_THQ")
-        th = int(th_env) if th_env else 64
+        # 128 default: measured equal to 64 pre-fusion (12.81 vs 12.88 at
+        # 8K, 2026-08-20 sweep) and required for the fused transposed
+        # restrict (each strip must own whole 128-lane blocks of rc_t)
+        th = int(th_env) if th_env else 128
     assert th in (8, 16, 32, 64, 128, 256), th
     # hq rounds to lcm(th, 128): strips need th | hq, the Pallas
     # quarter<->dense conversion kernels need 128 | hq
@@ -304,8 +307,30 @@ def _down_q_body(planes, gq, i, *, nu1, th, h, w, wq2, hc, h_even, bw,
     return strips, rh_e, rh_o
 
 
-def _down_q_kernel(uc, ut, ub, gc, gt, gb, uo_ref, rhe_ref, rho_ref, *,
-                   nu1, th, hq_true, h, w, wq2, hc, h_even, bw):
+def _rct_strip(rh_e, rh_o, i, *, th, w, hc, bw, chp):
+    """One strip's split rh planes -> its (chp, th) block of the TRANSPOSED
+    x4 lane-restricted coarse RHS (lanes = coarse rows i*th ..).
+
+    The same arithmetic as _restrict_tq_kernel, run in the producing
+    kernel's VMEM so the rh planes never round-trip HBM (the separate
+    restrict launch read them back at 2x the rc_t size)."""
+    wc = (w - 1) // 2
+    te = jnp.transpose(rh_e, (1, 0))  # (wq2, th): sublanes = even lanes
+    to = jnp.transpose(rh_o, (1, 0))
+    out = (te[:wc] + 2.0 * to[:wc]) + te[1 : wc + 1]
+    if w % 2 == 0:
+        gap = 2.0 + bw
+        edge = ((te[wc - 1] + 2.0 * to[wc - 1])
+                + (2.0 * (1.0 + bw) / gap) * te[wc]) + (2.0 * bw / gap) * to[wc]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (wc, th), 0)
+        out = jnp.where(sub == wc - 1, edge[None], out)
+    lane = i * th + jax.lax.broadcasted_iota(jnp.int32, (chp, th), 1)
+    full = jnp.pad(out, ((0, chp - wc), (0, 0)))
+    return jnp.where(lane < hc, full, 0.0)
+
+
+def _down_q_kernel(uc, ut, ub, gc, gt, gb, uo_ref, rhe_ref, rho_ref=None, *,
+                   nu1, th, hq_true, h, w, wq2, hc, h_even, bw, rct_rows=None):
     i = pl.program_id(1)
     planes = _asm_q(i, th, hq_true, wq2, uc, ut, ub)
     gq = _asm_q(i, th, hq_true, wq2, gc, gt, gb)
@@ -314,12 +339,16 @@ def _down_q_kernel(uc, ut, ub, gc, gt, gb, uo_ref, rhe_ref, rho_ref, *,
                                       bw=bw)
     for q in range(4):
         uo_ref[0, q] = strips[q]
-    rhe_ref[0] = rh_e
-    rho_ref[0] = rh_o
+    if rct_rows is not None:  # rhe_ref IS the rc_t output; rho_ref absent
+        rhe_ref[0] = _rct_strip(rh_e, rh_o, i, th=th, w=w, hc=hc, bw=bw,
+                                chp=rct_rows)
+    else:
+        rhe_ref[0] = rh_e
+        rho_ref[0] = rh_o
 
 
-def _down_q_kernel0(gc, gt, gb, uo_ref, rhe_ref, rho_ref, *, nu1, th,
-                    hq_true, h, w, wq2, hc, h_even, bw):
+def _down_q_kernel0(gc, gt, gb, uo_ref, rhe_ref, rho_ref=None, *, nu1, th,
+                    hq_true, h, w, wq2, hc, h_even, bw, rct_rows=None):
     i = pl.program_id(1)
     gq = _asm_q(i, th, hq_true, wq2, gc, gt, gb)
     z = [jnp.zeros_like(g) for g in gq]
@@ -328,15 +357,19 @@ def _down_q_kernel0(gc, gt, gb, uo_ref, rhe_ref, rho_ref, *, nu1, th,
                                       u_is_zero=True)
     for q in range(4):
         uo_ref[0, q] = strips[q]
-    rhe_ref[0] = rh_e
-    rho_ref[0] = rh_o
+    if rct_rows is not None:
+        rhe_ref[0] = _rct_strip(rh_e, rh_o, i, th=th, w=w, hc=hc, bw=bw,
+                                chp=rct_rows)
+    else:
+        rhe_ref[0] = rh_e
+        rho_ref[0] = rh_o
 
 
 @partial(jax.jit, static_argnames=("nu1", "true_hw", "geom", "h_even", "bw",
-                                   "u_zero", "interpret"))
+                                   "u_zero", "interpret", "rct_rows"))
 def mg_down_q_pallas(uq, gq, nu1, true_hw, geom, bw: float = 1.0,
                      u_zero: bool = False, interpret: bool = False,
-                     h_even: bool | None = None):
+                     h_even: bool | None = None, rct_rows: int | None = None):
     """Quarter-plane fused descent at the finest level (bh = bw = 1).
 
     uq (or None with u_zero), gq: (C, 4, hq, wq2) stacked quarter planes,
@@ -344,6 +377,16 @@ def mg_down_q_pallas(uq, gq, nu1, true_hw, geom, bw: float = 1.0,
     with rh_e/rh_o (C, hp2, wq2): the even/odd-lane planes of the dense
     row-restricted residual (rows [0, hc) valid; rows beyond hq unwritten
     — mg_restrict_tq_pallas masks them).
+
+    ``rct_rows=chp`` fuses the transposed x4 lane-restriction INTO this
+    kernel: returns (swept uq, rc_t) with rc_t (C, chp, hp2) — the coarse
+    vcycle_t's input directly, skipping the rh planes' HBM round-trip
+    (needs th % 128 == 0 so each strip owns whole lane blocks of rc_t).
+    Equal to the separate mg_restrict_tq_pallas launch except ~1 ulp at
+    the even-size Shortley-Weller edge lane (its 1/3-1/6 weights are not
+    powers of two, so the compiler's FMA contraction across the fused
+    boundary rounds once less); all other weights are powers of two and
+    bit-exact.
     """
     h, w = true_hw
     th, hq, wq2, hp2 = geom
@@ -358,18 +401,28 @@ def mg_down_q_pallas(uq, gq, nu1, true_hw, geom, bw: float = 1.0,
         h_even = h % 2 == 0
     hq_true = (h + 1) // 2
     ctr, top, bot = _ghost_specs_q(th, hq, wq2)
-    out_specs = [
-        pl.BlockSpec((1, 4, th, wq2), lambda ci, i: (ci, 0, i, 0)),
-        pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
-        pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((c, 4, hq, wq2), jnp.float32),
-        jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
-        jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
-    ]
+    u_spec = pl.BlockSpec((1, 4, th, wq2), lambda ci, i: (ci, 0, i, 0))
+    u_shape = jax.ShapeDtypeStruct((c, 4, hq, wq2), jnp.float32)
+    if rct_rows is not None:
+        assert th % 128 == 0 and hp2 == hq, (th, hp2, hq)
+        assert wq2 >= (w - 1) // 2 + 1, (wq2, w)
+        out_specs = [u_spec,
+                     pl.BlockSpec((1, rct_rows, th), lambda ci, i: (ci, 0, i))]
+        out_shape = [u_shape,
+                     jax.ShapeDtypeStruct((c, rct_rows, hp2), jnp.float32)]
+    else:
+        out_specs = [
+            u_spec,
+            pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
+            pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
+        ]
+        out_shape = [
+            u_shape,
+            jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
+            jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
+        ]
     kw = dict(nu1=nu1, th=th, hq_true=hq_true, h=h, w=w, wq2=wq2, hc=hc,
-              h_even=h_even, bw=bw)
+              h_even=h_even, bw=bw, rct_rows=rct_rows)
     if u_zero:
         return pl.pallas_call(
             partial(_down_q_kernel0, **kw),
@@ -629,8 +682,8 @@ def mg_up_q_pallas(uq, gq, e_even, e_odd, nu2, true_hw, geom,
 
 
 def _ud_q_kernel(uc, ut, ub, gc, gt, gb, eec, eet, eeb, eoc, eot, eob,
-                 uo_ref, rhe_ref, rho_ref, *, nu2, nu1, th, hq_true, h, w,
-                 wq2, hc, h_even, bw):
+                 uo_ref, rhe_ref, rho_ref=None, *, nu2, nu1, th, hq_true,
+                 h, w, wq2, hc, h_even, bw, rct_rows=None):
     """Fused ASCENT (cycle k) + DESCENT (cycle k+1) on one ghosted window.
 
     The post-up state never round-trips HBM between cycles: the up body
@@ -666,22 +719,28 @@ def _ud_q_kernel(uc, ut, ub, gc, gt, gb, eec, eet, eeb, eoc, eot, eob,
                                       bw=bw)
     for q in range(4):
         uo_ref[0, q] = strips[q]
-    rhe_ref[0] = rh_e
-    rho_ref[0] = rh_o
+    if rct_rows is not None:  # fused restrict: rhe_ref IS the rc_t output
+        rhe_ref[0] = _rct_strip(rh_e, rh_o, i, th=th, w=w, hc=hc, bw=bw,
+                                chp=rct_rows)
+    else:
+        rhe_ref[0] = rh_e
+        rho_ref[0] = rh_o
 
 
 @partial(jax.jit, static_argnames=("nu2", "nu1", "true_hw", "geom", "h_even",
-                                   "bw", "interpret"))
+                                   "bw", "interpret", "rct_rows"))
 def mg_ud_q_pallas(uq, gq, e_even, e_odd, nu2, nu1, true_hw, geom,
                    bw: float = 1.0, interpret: bool = False,
-                   h_even: bool | None = None):
+                   h_even: bool | None = None, rct_rows: int | None = None):
     """Fused cycle-boundary launch: prolong+correct+nu2 sweeps of cycle k,
     then nu1 sweeps + red residual + row-restriction of cycle k+1.
 
     Inputs/outputs exactly match mg_up_q_pallas's inputs and
-    mg_down_q_pallas's outputs: (swept uq, rh_e, rh_o). Used by the
-    fixed-cycles and burst (check-free) portions of solve_multigrid's
-    quarter path, where no tolerance decision sits between the two halves.
+    mg_down_q_pallas's outputs: (swept uq, rh_e, rh_o) — or (swept uq,
+    rc_t) with ``rct_rows`` (fused transposed restrict, see
+    mg_down_q_pallas). Used by the fixed-cycles and burst (check-free)
+    portions of solve_multigrid's quarter path, where no tolerance
+    decision sits between the two halves.
     """
     h, w = true_hw
     th, hq, wq2, hp2 = geom
@@ -703,19 +762,28 @@ def mg_ud_q_pallas(uq, gq, e_even, e_odd, nu2, nu1, true_hw, geom,
                          lambda ci, i: (ci, jnp.maximum(i * r - 1, 0), 0))
     e_bot = pl.BlockSpec((1, _MQ, wq2),
                          lambda ci, i: (ci, jnp.minimum((i + 1) * r, nb2 - 1), 0))
-    out_specs = [
-        pl.BlockSpec((1, 4, th, wq2), lambda ci, i: (ci, 0, i, 0)),
-        pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
-        pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((c, 4, hq, wq2), jnp.float32),
-        jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
-        jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
-    ]
+    u_spec = pl.BlockSpec((1, 4, th, wq2), lambda ci, i: (ci, 0, i, 0))
+    u_shape = jax.ShapeDtypeStruct((c, 4, hq, wq2), jnp.float32)
+    if rct_rows is not None:
+        assert th % 128 == 0 and hp2 == hq, (th, hp2, hq)
+        out_specs = [u_spec,
+                     pl.BlockSpec((1, rct_rows, th), lambda ci, i: (ci, 0, i))]
+        out_shape = [u_shape,
+                     jax.ShapeDtypeStruct((c, rct_rows, hp2), jnp.float32)]
+    else:
+        out_specs = [
+            u_spec,
+            pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
+            pl.BlockSpec((1, th, wq2), lambda ci, i: (ci, i, 0)),
+        ]
+        out_shape = [
+            u_shape,
+            jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
+            jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
+        ]
     return pl.pallas_call(
         partial(_ud_q_kernel, nu2=nu2, nu1=nu1, th=th, hq_true=hq_true, h=h,
-                w=w, wq2=wq2, hc=hc, h_even=h_even, bw=bw),
+                w=w, wq2=wq2, hc=hc, h_even=h_even, bw=bw, rct_rows=rct_rows),
         grid=(c, hq // th),
         in_specs=[ctr, top, bot] * 2 + [e_ctr, e_top, e_bot] * 2,
         out_specs=out_specs,

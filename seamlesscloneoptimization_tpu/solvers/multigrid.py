@@ -543,6 +543,21 @@ def _coarse_q(rh_e, rh_o, h, w, nu1, nu2, coarsest, interpret, geom):
                                 interpret=interpret)
 
 
+def _coarse_from_rct(rc_t, h, w, nu1, nu2, coarsest, interpret, geom, cgeom):
+    """Coarse solve + split-plane prolongation from an ALREADY-restricted
+    transposed coarse RHS (the fused-restrict kernels' rc_t output)."""
+    from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+        mg_prolong_tq_pallas)
+
+    th, hq, wq2, hp2 = geom
+    hc, bh_c = _coarsen(h, 1.0)
+    wc, bw_c = _coarsen(w, 1.0)
+    ec_t = vcycle_t(jnp.zeros_like(rc_t), rc_t, wc, hc, nu1, nu2, coarsest,
+                    interpret, bw_c, bh_c, u_zero=True, geom=cgeom)
+    return mg_prolong_tq_pallas(ec_t, h, w, 1.0, out_rows=hp2, wq2=wq2,
+                                interpret=interpret)
+
+
 def _solve_q_fused(g_q, uq0, cycles, h, w, nu1, nu2, coarsest, interpret,
                    qgeom, with_final_residual=False):
     """``cycles`` quarter V-cycles with FUSED cycle boundaries.
@@ -551,13 +566,45 @@ def _solve_q_fused(g_q, uq0, cycles, h, w, nu1, nu2, coarsest, interpret,
     Bit-equal to the vcycle_q fori_loop (mg_ud_q_pallas's docstring has the
     staleness argument) but each cycle boundary is ONE launch instead of an
     up and a down — saving a full fine-level u write + read + g read per
-    cycle, the dominant HBM cost at 8K. uq0 None = zero start (the descent
+    cycle, the dominant HBM cost at 8K. When the strip height owns whole
+    lane blocks (th % 128 == 0, the default geometry), the transposed x4
+    lane-restriction ALSO fuses into the descent/boundary kernels
+    (rct_rows): the split rh planes never touch HBM and the separate
+    restrict launch disappears. uq0 None = zero start (the descent
     synthesizes its carry in VMEM). Returns the swept quarter planes, plus
     the fused red-cell residual max of the final ascent when
     ``with_final_residual`` (the tol-mode burst consumer).
     """
+    from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_geometry_t
     from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
         mg_down_q_pallas, mg_ud_q_pallas, mg_up_q_pallas)
+
+    th, hq, wq2, hp2 = qgeom
+    hc, bh_c = _coarsen(h, 1.0)
+    wc, bw_c = _coarsen(w, 1.0)
+    cgeom = mg_geometry_t(wc, hc, wp_min=hp2)
+    if th % 128 == 0 and hp2 == hq and cgeom[2] == hp2:
+        rct = cgeom[1]  # chp: the transposed coarse RHS row extent
+
+        def coarse(rc_t):
+            return _coarse_from_rct(rc_t, h, w, nu1, nu2, coarsest,
+                                    interpret, qgeom, cgeom)
+
+        u_s, rc_t = mg_down_q_pallas(uq0, g_q, nu1, (h, w), qgeom,
+                                     u_zero=uq0 is None, interpret=interpret,
+                                     rct_rows=rct)
+
+        def body(_, st):
+            u_s, rc_t = st
+            e_e, e_o = coarse(rc_t)
+            return mg_ud_q_pallas(u_s, g_q, e_e, e_o, nu2, nu1, (h, w),
+                                  qgeom, interpret=interpret, rct_rows=rct)
+
+        u_s, rc_t = jax.lax.fori_loop(0, cycles - 1, body, (u_s, rc_t))
+        e_e, e_o = coarse(rc_t)
+        return mg_up_q_pallas(u_s, g_q, e_e, e_o, nu2, (h, w), qgeom,
+                              interpret=interpret,
+                              with_residual=with_final_residual)
 
     st = mg_down_q_pallas(uq0, g_q, nu1, (h, w), qgeom,
                           u_zero=uq0 is None, interpret=interpret)

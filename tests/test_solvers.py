@@ -289,10 +289,11 @@ class TestAutoSolver:
         )
 
         assert auto_solver_name((3, 1550, 2398)) == "dst_gemm"  # 3.7 MP
-        assert auto_solver_name((3, 2798, 3798)) == "dst_gemm"  # 10.6 MP
-        assert auto_solver_name((3, 5000, 5000)) == "dst_gemm"  # exactly 25 MP
-        assert auto_solver_name((3, 5000, 5001)) == "multigrid"  # just past it
-        assert AUTO_CROSSOVER_PIXELS == 25_000_000  # pinned by docs/PERF.md
+        assert auto_solver_name((3, 2048, 3072)) == "dst_gemm"  # 6.3 MP
+        assert auto_solver_name((3, 2798, 3798)) == "multigrid"  # 10.6 MP
+        assert auto_solver_name((3, 2000, 3500)) == "dst_gemm"  # exactly 7 MP
+        assert auto_solver_name((3, 2000, 3501)) == "multigrid"  # just past it
+        assert AUTO_CROSSOVER_PIXELS == 7_000_000  # pinned by docs/PERF.md
 
     def test_auto_via_engine(self):
         import cv2
