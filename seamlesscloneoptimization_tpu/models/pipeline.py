@@ -149,8 +149,36 @@ def clone_roi(
                 dest_roi_u8[:, -1:, :],
             ], axis=1)
             return blended
-        g = preprocess_rhs_pallas(dest_roi_u8, patch_in, mask_roi, kflags, mixed_rule)
+        mg_true_hw = None
+        if mg_post:
+            h2s, w2s = dest_roi_u8.shape[1] - 2, dest_roi_u8.shape[2] - 2
+            # Pre-padded RHS (preprocess_rhs_padded_pallas) only when the
+            # solver will actually take the quarter branch — mirror its
+            # gates (small grid / _fused_level size floor; the backend
+            # check is implied by mg_post). A gate mismatch is safe: the
+            # solver's true_hw fallback slices the padding back off.
+            small = (min(h2s, w2s) <= 63
+                     or min((h2s - 1) // 2, (w2s - 1) // 2) < 1)
+            if (solver_kwargs.get("padded") == "q" and not small
+                    and solver_kwargs.get("use_pallas", False)
+                    and h2s * w2s >= (1 << 18)):
+                from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+                    preprocess_rhs_padded_pallas,
+                )
+                from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+                    mg_geometry_q,
+                )
+
+                _, hq, wq2, _ = mg_geometry_q(h2s, w2s)
+                g = preprocess_rhs_padded_pallas(
+                    dest_roi_u8, patch_in, mask_roi, (2 * hq, 2 * wq2),
+                    kflags, mixed_rule)
+                mg_true_hw = (h2s, w2s)
+        if mg_true_hw is None:
+            g = preprocess_rhs_pallas(
+                dest_roi_u8, patch_in, mask_roi, kflags, mixed_rule)
     else:
+        mg_true_hw = None
         dest_f = dest_roi_u8.astype(jnp.float32)
         patch_f = patch_u8.astype(jnp.float32)
         mask_eroded = erode3x3(binarize_mask(mask_roi))
@@ -170,6 +198,8 @@ def clone_roi(
         )
 
         h2, w2 = dest_roi_u8.shape[1] - 2, dest_roi_u8.shape[2] - 2
+        if mg_true_hw is not None:
+            solver_kwargs = dict(solver_kwargs, true_hw=mg_true_hw)
         u_p = solver(g, padded_output=True, **solver_kwargs)
         _, hu, wu = u_p.shape
         hp128 = -(-hu // 128) * 128

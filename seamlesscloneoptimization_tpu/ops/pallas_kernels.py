@@ -1178,30 +1178,14 @@ def erode3_pallas(mask01: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     return out[:h, :w]
 
 
-def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
-                        mixed_rule, th, h, w, wp_out, wpk):
-    """Per-(channel, strip) preprocess emitting the PADDED TRANSPOSED RHS.
-
-    Serve-path optimizations over ``_pre_strip_kernel``:
-    - the 3x3-erode chain (the dominant VPU cost: 27 shifted mins per
-      application) is hoisted into its own shared pass (erode3_pallas)
-      instead of being recomputed per channel;
-    - the Dirichlet boundary subtraction (ref pre_process_kernel_lapXY,
-      seamlessClone_imp.cpp:1992-2007) is folded IN-KERNEL — the edge
-      destination pixels it needs are always inside the strip's halo —
-      instead of an XLA ``at[].add`` pass over the whole array (~0.63 ms
-      at 2400x1552);
-    - the interior is written TRANSPOSED at the ORIGIN of a zero-padded
-      (C, WPo, HPo) slab (both 128-multiples), so the whole DST-GEMM chain
-      (solve_dst_gemm_pl) can run in padded space with zero-padded V
-      matrices: no inter-stage relayout slice/pad copies anywhere
-      (measured ~2.4 ms of the serve step).
-    """
-    m = _M
-    i = pl.program_id(1)
-    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 1)
-    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
+def _fused_lap_tile(dest_ref, patch_ref, me_ref, *, flags, mixed_rule, h, w,
+                    rows, cols, in_dom, lsh, rsh):
+    """Shared body of the padded preprocess kernels (_pre_strip_kernel_t /
+    _pre_strip_kernel_p): u8->f32 VMEM casts, guidance, divergence, the
+    in-kernel Dirichlet fold (ref pre_process_kernel_lapXY,
+    seamlessClone_imp.cpp:1992-2007), and interior-validity zeroing on one
+    ghosted (th + 2M, wpk) window. Returns the masked lap tile; the caller
+    only differs in how it shifts/orients the emission."""
 
     def to_f32(x):
         if x.dtype == jnp.uint8:
@@ -1209,10 +1193,6 @@ def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
         return x
 
     me = to_f32(me_ref[:]) * in_dom
-
-    # lane fetches via _lane_neighbors (roll form: w < wpk always here —
-    # wpk covers wp_out + 1 >= w + ...; the selects mask the wrap lanes)
-    lsh, rsh = _lane_neighbors(w, wpk)
 
     def gradx(img):
         return jnp.where(cols < w - 1, rsh(img) - img, 0.0) * in_dom
@@ -1242,11 +1222,44 @@ def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
     lap = lap - jnp.where(rows == 1, d_up, 0.0) - jnp.where(rows == h - 2, d_dn, 0.0)
     lap = lap - jnp.where(cols == 1, d[:, 0:1], 0.0)
     lap = lap - jnp.where(cols == w - 2, d[:, w - 1 : w], 0.0)
-    # zero everything outside the interior (the padded-GEMM chain requires
-    # exact zeros in the padding), shift the interior to the origin, emit
-    # transposed: out[j, r] = lap[y = r+1, x = j+1]
+    # zero everything outside the interior (the padded solver chains require
+    # exact zeros in the padding)
     valid = (rows >= 1) & (rows <= h - 2) & (cols >= 1) & (cols <= w - 2)
-    lap = jnp.where(valid, lap, 0.0)
+    return jnp.where(valid, lap, 0.0)
+
+
+def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
+                        mixed_rule, th, h, w, wp_out, wpk):
+    """Per-(channel, strip) preprocess emitting the PADDED TRANSPOSED RHS.
+
+    Serve-path optimizations over ``_pre_strip_kernel``:
+    - the 3x3-erode chain (the dominant VPU cost: 27 shifted mins per
+      application) is hoisted into its own shared pass (erode3_pallas)
+      instead of being recomputed per channel;
+    - the Dirichlet boundary subtraction (ref pre_process_kernel_lapXY,
+      seamlessClone_imp.cpp:1992-2007) is folded IN-KERNEL — the edge
+      destination pixels it needs are always inside the strip's halo —
+      instead of an XLA ``at[].add`` pass over the whole array (~0.63 ms
+      at 2400x1552);
+    - the interior is written TRANSPOSED at the ORIGIN of a zero-padded
+      (C, WPo, HPo) slab (both 128-multiples), so the whole DST-GEMM chain
+      (solve_dst_gemm_pl) can run in padded space with zero-padded V
+      matrices: no inter-stage relayout slice/pad copies anywhere
+      (measured ~2.4 ms of the serve step).
+    """
+    m = _M
+    i = pl.program_id(1)
+    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 1)
+    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
+    # lane fetches via _lane_neighbors (roll form: w < wpk always here —
+    # wpk covers wp_out + 1 >= w + ...; the selects mask the wrap lanes)
+    lsh, rsh = _lane_neighbors(w, wpk)
+    lap = _fused_lap_tile(dest_ref, patch_ref, me_ref, flags=flags,
+                          mixed_rule=mixed_rule, h=h, w=w, rows=rows,
+                          cols=cols, in_dom=in_dom, lsh=lsh, rsh=rsh)
+    # shift the interior to the origin, emit transposed:
+    # out[j, r] = lap[y = r+1, x = j+1]
     lap_s = lap[m + 1 : m + 1 + th, :]      # rows y = i*th+1 .. i*th+th
     # drop border column 0 AFTER the transpose: a sublane slice, which
     # Mosaic supports (the pre-transpose lane-shift pad does not lower)
@@ -1293,6 +1306,84 @@ def preprocess_rhs_transposed_pallas(
         ],
         out_specs=pl.BlockSpec((1, wp_out, th), lambda ci, i: (ci, 0, i)),
         out_shape=jax.ShapeDtypeStruct((c, wp_out, hp_out), jnp.float32),
+        interpret=interpret,
+    )(dp, pp, mep)
+
+
+def _pre_strip_kernel_p(dest_ref, patch_ref, me_ref, out_ref, *, flags,
+                        mixed_rule, th, h, w, wp_out, wpk):
+    """Per-(channel, strip) preprocess emitting the PADDED NATURAL RHS.
+
+    The multigrid twin of ``_pre_strip_kernel_t`` (same fused math via
+    _fused_lap_tile: hoisted erode, in-kernel Dirichlet fold) emitting the
+    interior RHS at the ORIGIN of a zero-padded natural-orientation
+    (C, HP, WP) slab sized by the caller to the quarter-plane multigrid's
+    dense footprint — solve_multigrid(padded="q", true_hw=...) then starts
+    with zero XLA slice/pad passes. Replaces the r1-era natural kernel on
+    the mg serve path, which re-ran the erode chain per channel, paid an
+    XLA at[].add Dirichlet pass, and emitted an exact-size slice the solver
+    immediately re-padded: 2.89 ms/frame at 8K vs ~0.5 for this kernel
+    (xprof 2026-08-20, docs/PERF.md).
+    """
+    m = _M
+    i = pl.program_id(1)
+    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 1)
+    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
+    lsh, rsh = _lane_neighbors(w, wpk)
+    lap = _fused_lap_tile(dest_ref, patch_ref, me_ref, flags=flags,
+                          mixed_rule=mixed_rule, h=h, w=w, rows=rows,
+                          cols=cols, in_dom=in_dom, lsh=lsh, rsh=rsh)
+    # out[r, j] = lap[y = r+1, x = j+1]: sublane shift via the strip slice,
+    # lane shift via the same cyclic roll (w < wpk by construction; wrapped
+    # lanes carry the exact zeros the validity mask just wrote)
+    shifted = rsh(lap[m + 1 : m + 1 + th, :])
+    out_ref[0] = shifted[:, :wp_out]
+
+
+def preprocess_rhs_padded_pallas(
+    dest_roi: jnp.ndarray,
+    patch: jnp.ndarray,
+    mask_roi: jnp.ndarray,
+    out_hw: tuple[int, int],
+    flags: int = 1,
+    mixed_rule: str = "opencv",
+    interpret: bool = False,
+):
+    """Fused RHS, NATURAL orientation + PADDED: inputs as
+    preprocess_rhs_pallas, output (C, HP, WP) f32 with (HP, WP) = ``out_hw``
+    (the quarter-plane geometry's dense footprint: HP a 128-multiple
+    >= H-2, WP a 128-multiple >= W-2), the interior RHS at the origin,
+    exact zeros in the padding, Dirichlet edges already applied — ready for
+    ``solve_multigrid(padded="q", true_hw=(H-2, W-2))`` with no slice/pad
+    copies at either end (the mg twin of preprocess_rhs_transposed_pallas).
+    """
+    c, h, w = dest_roi.shape
+    hp_out, wp_out = out_hw
+    th = 128  # divides the q geometry's HP (a 256-multiple) and any 128-multiple
+    assert hp_out % th == 0 and wp_out % 128 == 0, out_hw
+    assert hp_out >= h - 2 and wp_out >= w - 2, (out_hw, dest_roi.shape)
+    # the kernel left-shifts by one lane before emitting, so the read width
+    # must cover wp_out + 1 columns AND keep w < wpk (roll form, exact wrap)
+    wpk = _round_up(max(w, wp_out + 1), 128)
+    pad3 = ((0, 0), (_M, hp_out - h + _M), (0, wpk - w))
+    pad2 = ((_M, hp_out - h + _M), (0, wpk - w))
+    dp = jnp.pad(dest_roi, pad3)
+    pp = jnp.pad(patch, pad3)
+    me = erode3_pallas((mask_roi != 0).astype(jnp.uint8), interpret=interpret)
+    mep = jnp.pad(me, pad2)
+
+    return pl.pallas_call(
+        partial(_pre_strip_kernel_p, flags=flags, mixed_rule=mixed_rule,
+                th=th, h=h, w=w, wp_out=wp_out, wpk=wpk),
+        grid=(c, hp_out // th),
+        in_specs=[
+            _halo_spec(th, wpk),
+            _halo_spec(th, wpk),
+            _halo_spec_2d(th, wpk),
+        ],
+        out_specs=pl.BlockSpec((1, th, wp_out), lambda ci, i: (ci, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, hp_out, wp_out), jnp.float32),
         interpret=interpret,
     )(dp, pp, mep)
 

@@ -29,7 +29,8 @@ def _interp_mocks():
 
     return [
         mock.patch.object(PK, name, force_interp(getattr(PK, name)))
-        for name in ("preprocess_rhs_pallas", "clamp_cast_pallas",
+        for name in ("preprocess_rhs_pallas", "preprocess_rhs_padded_pallas",
+                     "clamp_cast_pallas",
                      "clamp_cast_guarded_pallas", "paste_interior_pallas",
                      # the dst_gemm serve chain (the 'auto' engine test
                      # resolves below-crossover ROIs to dst_gemm)
@@ -87,6 +88,116 @@ class TestPaddedOutput:
         with pytest.raises(ValueError, match="exclusive"):
             solve_multigrid(jnp.zeros((1, 16, 16)), cycles=1,
                             padded_output=True, return_info=True)
+
+
+class TestPrePaddedRhs:
+    """solve_multigrid(true_hw=...): the pre-padded RHS contract feeding the
+    quarter path straight from preprocess_rhs_padded_pallas (no XLA
+    slice/pad between preprocess and solve — the 8K mg serve's ~3 ms of
+    round-trip glue, xprof 2026-08-20)."""
+
+    def _prepad(self, g):
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            mg_geometry_q,
+        )
+
+        c, h, w = g.shape
+        _, hq, wq2, _ = mg_geometry_q(h, w)
+        return jnp.zeros((c, 2 * hq, 2 * wq2), g.dtype).at[:, :h, :w].set(g)
+
+    def test_true_hw_matches_plain_q(self):
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        h, w = 511, 517
+        g = _rand((1, h, w), seed=11)
+        gp = self._prepad(g)
+        for kw in ({"cycles": 2}, {"tol": 1e-3}):
+            want = solve_multigrid(g, use_pallas=True, interpret=True,
+                                   padded="q", **kw)
+            got = solve_multigrid(gp, use_pallas=True, interpret=True,
+                                  padded="q", true_hw=(h, w), **kw)
+            assert np.array_equal(np.asarray(got), np.asarray(want)), kw
+
+    def test_true_hw_padded_output(self):
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        h, w = 512, 520
+        g = _rand((1, h, w), seed=12)
+        gp = self._prepad(g)
+        want = solve_multigrid(g, cycles=2, use_pallas=True, interpret=True,
+                               padded="q")
+        got = solve_multigrid(gp, cycles=2, use_pallas=True, interpret=True,
+                              padded="q", true_hw=(h, w), padded_output=True)
+        assert got.shape == gp.shape
+        assert np.array_equal(np.asarray(got[:, :h, :w]), np.asarray(want))
+        assert not np.asarray(got[:, h:, :]).any()
+        assert not np.asarray(got[:, :, w:]).any()
+
+    def test_true_hw_fallback_branch_slices(self):
+        """When the fused q-branch cannot run (no TPU, no interpret), the
+        solver must degrade to the sliced true-size RHS — same answer as
+        the plain call."""
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        h, w = 200, 220
+        g = _rand((1, h, w), seed=13)
+        gp = self._prepad(g)
+        want = solve_multigrid(g, cycles=3, padded="q", use_pallas=True)
+        got = solve_multigrid(gp, cycles=3, padded="q", use_pallas=True,
+                              true_hw=(h, w))
+        assert got.shape == g.shape
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    def test_true_hw_validation(self):
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        g = _rand((1, 128, 128), seed=14)
+        with pytest.raises(ValueError, match="padded='q'"):
+            solve_multigrid(self._prepad(g), cycles=1, padded="t",
+                            true_hw=(128, 128))
+        with pytest.raises(ValueError, match="footprint"):
+            solve_multigrid(g, cycles=1, padded="q", true_hw=(500, 500))
+
+    def test_clone_roi_prepads_above_size_floor(self, airplane, sky,
+                                                irregular_mask):
+        """clone_roi(mg tail, padded='q', big ROI) must route the padded
+        preprocess + true_hw solve and still match the XLA-postprocess
+        result bit-for-bit (the solver's CPU fallback slices the padding)."""
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+        from seamlesscloneoptimization_tpu.ops import pallas_kernels as PK
+        from seamlesscloneoptimization_tpu.solvers import solve_multigrid
+
+        h, w = 522, 530  # (h-2)*(w-2) = 274560 >= 2^18: above the gate
+        rng = np.random.default_rng(4)
+        dest = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.uint8))
+        patch = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.uint8))
+        mask = np.zeros((h, w), np.uint8)
+        mask[2:-2, 2:-2] = 255
+        mask = jnp.asarray(mask)
+        patch = jnp.where(mask[None] != 0, patch, jnp.uint8(0))
+        kw = {"cycles": 2, "padded": "q", "use_pallas": True}
+        ref = np.asarray(P.clone_roi(dest, patch, mask, 1, solve_multigrid,
+                                     {"cycles": 2}))
+        calls = []
+        orig = PK.preprocess_rhs_padded_pallas
+
+        def spy(*a, **k):
+            calls.append(a[3])
+            return orig(*a, **{**k, "interpret": True})
+
+        with contextlib.ExitStack() as es:
+            for p in _interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            es.enter_context(mock.patch.object(
+                PK, "preprocess_rhs_padded_pallas", spy))
+            got = np.asarray(P.clone_roi(
+                dest, patch, mask, 1, solve_multigrid, kw,
+                use_pallas_pre=True, use_pallas_post=True,
+                solver_name="multigrid"))
+        assert calls, "the pre-padded preprocess path was never exercised"
+        assert np.array_equal(got, ref)
 
 
 class TestCloneRoiMgTail:

@@ -61,6 +61,61 @@ class TestPreprocessPallas:
         assert np.array_equal(np.asarray(g8), np.asarray(g))
 
 
+class TestPreprocessPaddedPallas:
+    """preprocess_rhs_padded_pallas: the mg serve path's pre-padded RHS
+    (natural-orientation twin of the transposed kernel)."""
+
+    @pytest.mark.parametrize("flags", [1, 2])
+    @pytest.mark.parametrize("hw", [(260, 300), (257, 385)])
+    def test_matches_natural_kernel_and_pads_zero(self, hw, flags):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            preprocess_rhs_padded_pallas,
+        )
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            mg_geometry_q,
+        )
+
+        h, w = hw
+        rng = np.random.default_rng(0)
+        dest = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.uint8))
+        patch = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.uint8))
+        mask = jnp.asarray((rng.random((h, w)) > 0.3).astype(np.uint8) * 255)
+        patch = jnp.where(mask[None] != 0, patch, jnp.uint8(0))
+        g = preprocess_rhs_pallas(dest, patch, mask, flags, interpret=True)
+        h2, w2 = h - 2, w - 2
+        _, hq, wq2, _ = mg_geometry_q(h2, w2)
+        gp = preprocess_rhs_padded_pallas(
+            dest, patch, mask, (2 * hq, 2 * wq2), flags, interpret=True)
+        assert gp.shape == (3, 2 * hq, 2 * wq2)
+        # interior bit-equal to the generic kernel, exact zeros outside
+        assert np.array_equal(np.asarray(gp[:, :h2, :w2]), np.asarray(g))
+        assert not np.asarray(gp[:, h2:, :]).any()
+        assert not np.asarray(gp[:, :, w2:]).any()
+
+    def test_f32_patch_monochrome_style(self):
+        """MONOCHROME pre-grays the patch to non-integer f32 on the caller
+        side; the kernel must accept mixed u8/f32 inputs (flags=1 there)."""
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            preprocess_rhs_padded_pallas,
+        )
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            mg_geometry_q,
+        )
+
+        h, w = 260, 300
+        rng = np.random.default_rng(3)
+        dest = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.uint8))
+        patch = jnp.asarray(
+            rng.uniform(0, 255, (3, h, w)).astype(np.float32))
+        mask = jnp.asarray(np.full((h, w), 255, np.uint8))
+        g = preprocess_rhs_pallas(dest, patch, mask, 1, interpret=True)
+        _, hq, wq2, _ = mg_geometry_q(h - 2, w - 2)
+        gp = preprocess_rhs_padded_pallas(
+            dest, patch, mask, (2 * hq, 2 * wq2), 1, interpret=True)
+        assert np.array_equal(
+            np.asarray(gp[:, : h - 2, : w - 2]), np.asarray(g))
+
+
 class TestPipelinePallasPre:
     def test_clone_roi_pallas_pre_matches_xla(self, airplane, sky, irregular_mask):
         """use_pallas_pre routes through the strip kernel; output must match

@@ -73,9 +73,10 @@ def profile_serve(h: int, w: int, loops: int):
     import os
 
     folded = os.environ.get("SCL_DST_FOLDED", "1") == "1"  # mirror bench.py
-    eng = SeamlessClone(CloneConfig(solver="dst_gemm", donate_dst=True, precision="high",
+    solver = os.environ.get("SCL_SOLVER", "dst_gemm")  # e.g. multigrid
+    eng = SeamlessClone(CloneConfig(solver=solver, donate_dst=True, precision="high",
                                     use_pallas_preprocess=True, use_pallas_postprocess=True,
-                                    dst_folded=folded))
+                                    dst_folded=folded, tol=2e-4))
     # warm-up outside trace
     _, ms0 = eng.timed_serve(src, dst, mask, center, loops=4)
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
