@@ -199,6 +199,21 @@ class SeamlessClone:
             # Pallas serve tail per solver: dst_gemm's transposed/padded GEMM
             # chain, or multigrid's guarded clamp+cast on the padded solve
             # (VERDICT r3 missing #3)
+            jit_kwargs = {}
+            if planar_dst and self.device.platform == "tpu":
+                # Pin the chained planar destination (and the program
+                # output) to the default {2,1,0} layout: XLA's layout
+                # assignment otherwise picks {1,2,0} for the entry param,
+                # inserting TWO full-image u8 relayout copies per frame
+                # around the Pallas paste (~0.82 ms at 8K, xprof
+                # 2026-08-20). The serve loop chains out -> dst, so input
+                # and output formats must agree.
+                from jax.experimental.layout import Format, Layout
+
+                fmt = Format(Layout(major_to_minor=(0, 1, 2)),
+                             jax.sharding.SingleDeviceSharding(self.device))
+                jit_kwargs = dict(in_shardings=(None, fmt, None, None, None),
+                                  out_shardings=fmt)
             fn = jax.jit(
                 partial(
                     clone_pipeline,
@@ -214,6 +229,7 @@ class SeamlessClone:
                     solver_name=eff,
                 ),
                 donate_argnums=(1,) if self.config.donate_dst else (),
+                **jit_kwargs,
             )
             self._cache[key] = fn
         return fn
@@ -394,6 +410,18 @@ class SeamlessClone:
         import jax.numpy as jnp
 
         to_planar = jax.jit(lambda d: jnp.transpose(d, (2, 0, 1)))
+        if self.device.platform == "tpu":
+            # the serve program pins its chained dst to the default
+            # {2,1,0} layout (see _compiled); the entry conversion must
+            # hand it over in that format (one real relayout at loop
+            # entry instead of a bitcast, then zero per-frame copies)
+            from jax.experimental.layout import Format, Layout
+
+            to_planar = jax.jit(
+                lambda d: jnp.transpose(d, (2, 0, 1)),
+                out_shardings=Format(
+                    Layout(major_to_minor=(0, 1, 2)),
+                    jax.sharding.SingleDeviceSharding(self.device)))
         to_inter = jax.jit(lambda d: jnp.transpose(d, (1, 2, 0)))
         src_d = self._track(jax.device_put(src, self.device))
         out = to_planar(self._track(jax.device_put(dst, self.device)))
