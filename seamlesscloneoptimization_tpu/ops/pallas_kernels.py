@@ -1306,6 +1306,9 @@ def preprocess_rhs_transposed_pallas(
         ],
         out_specs=pl.BlockSpec((1, wp_out, th), lambda ci, i: (ci, 0, i)),
         out_shape=jax.ShapeDtypeStruct((c, wp_out, hp_out), jnp.float32),
+        # f32 body temporaries overflow the default ~17 MB scoped-VMEM
+        # stack past wpk ~ 4600 (measured OOM at the 16.5 MP patch)
+        compiler_params=_vmem_params(th, wpk, interpret),
         interpret=interpret,
     )(dp, pp, mep)
 
@@ -1384,6 +1387,9 @@ def preprocess_rhs_padded_pallas(
         ],
         out_specs=pl.BlockSpec((1, th, wp_out), lambda ci, i: (ci, i, 0)),
         out_shape=jax.ShapeDtypeStruct((c, hp_out, wp_out), jnp.float32),
+        # same scoped-VMEM raise as the transposed kernel: the f32 body
+        # temporaries overflow the default stack limit past wpk ~ 4600
+        compiler_params=_vmem_params(th, wpk, interpret),
         interpret=interpret,
     )(dp, pp, mep)
 
