@@ -212,8 +212,10 @@ class SeamlessClone:
 
                 fmt = Format(Layout(major_to_minor=(0, 1, 2)),
                              jax.sharding.SingleDeviceSharding(self.device))
-                jit_kwargs = dict(in_shardings=(None, fmt, None, None, None),
-                                  out_shardings=fmt)
+                n_args = 6 if self._bucket_exact() else 5  # + true_bbox
+                jit_kwargs = dict(
+                    in_shardings=(None, fmt) + (None,) * (n_args - 2),
+                    out_shardings=fmt)
             fn = jax.jit(
                 partial(
                     clone_pipeline,
@@ -429,8 +431,13 @@ class SeamlessClone:
         bxy = jax.device_put(np.array([x0, y0], np.int32), self.device)
         lt = jax.device_put(np.array([left, top], np.int32), self.device)
 
+        # bucket_exact serve: the tight-bbox runtime arg rides along so the
+        # chained loop solves the TIGHT system (accuracy identical to the
+        # per-shape path), not the bucketed frame
+        extra = (jax.device_put(np.array(tight, np.int32), self.device),
+                 ) if tight is not None else ()
         sync = jax.jit(lambda x: jnp.max(x))  # block_until_ready can lie via tunnels
-        out = fn(src_d, out, m_d, bxy, lt)  # warm-up / compile
+        out = fn(src_d, out, m_d, bxy, lt, *extra)  # warm-up / compile
         float(sync(out))  # also compiles the sync op outside the timed window
         rpc_ms = self._sync_overhead_ms()
 
@@ -438,7 +445,7 @@ class SeamlessClone:
             nonlocal out
             t0 = time.perf_counter()
             for _ in range(loops):
-                out = fn(src_d, out, m_d, bxy, lt)
+                out = fn(src_d, out, m_d, bxy, lt, *extra)
             float(sync(out))
             return max(((time.perf_counter() - t0) * 1e3 - rpc_ms) / loops, 1e-6)
 

@@ -347,6 +347,34 @@ class TestBucketExact:
             assert m <= 1, f"{hw}: diff max {m} (sum {s})"
         assert len(eng._cache) == 1, f"{len(eng._cache)} compiles for 3 sizes"
 
+    def test_serve_program_carries_tight_bbox(self, airplane, sky):
+        """The planar SERVE program must solve the TIGHT system too: one
+        frame through _compiled(planar_dst=True) with the tight arg equals
+        the non-planar run() bit-for-bit (previously timed_serve dropped
+        the tight arg and silently degraded to pad-bucket accuracy)."""
+        import jax.numpy as jnp
+
+        from seamlesscloneoptimization_tpu.core.engine import prepare_inputs
+
+        mask = np.zeros(airplane.shape[:2], np.uint8)
+        cv2.circle(mask, (150, 97), 60, 255, -1)
+        eng = SeamlessClone(CloneConfig(bbox_bucket=128, bucket_exact=True,
+                                        tol=2e-5))
+        center = (800, 150)
+        want = np.asarray(eng.run(airplane, sky, mask.copy(), center))
+        prep = eng._prepare(mask.copy(), airplane.shape, sky.shape, center)
+        m, (x0, y0), (left, top), (bh, bw), tight = eng._unpack_prep(prep)
+        assert tight is not None
+        fn = eng._compiled(airplane.shape, (3,) + sky.shape[:2], (bh, bw),
+                           1, planar_dst=True)
+        out_p = fn(jnp.asarray(airplane),
+                   jnp.transpose(jnp.asarray(sky), (2, 0, 1)),
+                   jnp.asarray(m), np.array([x0, y0], np.int32),
+                   np.array([left, top], np.int32),
+                   np.array(tight, np.int32))
+        got = np.asarray(jnp.transpose(out_p, (1, 2, 0)))
+        assert np.array_equal(got, want)
+
     @pytest.mark.parametrize("flags", [2, 3])
     def test_exact_bucket_other_modes(self, airplane, sky, flags):
         """MIXED/MONOCHROME guidance runs through the same dyn path."""
