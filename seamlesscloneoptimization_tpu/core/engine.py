@@ -199,7 +199,20 @@ class SeamlessClone:
             # Pallas serve tail per solver: dst_gemm's transposed/padded GEMM
             # chain, or multigrid's guarded clamp+cast on the padded solve
             # (VERDICT r3 missing #3)
-            jit_kwargs = {}
+            base = partial(
+                clone_pipeline,
+                bbox_hw=bbox_hw,
+                flags=flags,
+                solver=solver,
+                solver_kwargs=kwargs,
+                use_pallas_pre=self.config.use_pallas_preprocess,
+                use_pallas_post=(self.config.use_pallas_postprocess
+                                 and eff in ("dst_gemm", "multigrid")),
+                mixed_rule=self.config.mixed_rule,
+                planar_dst=planar_dst,
+                solver_name=eff,
+            )
+            donate = (1,) if self.config.donate_dst else ()
             if planar_dst and self.device.platform == "tpu":
                 # Pin the chained planar destination (and the program
                 # output) to the default {2,1,0} layout: XLA's layout
@@ -207,32 +220,34 @@ class SeamlessClone:
                 # inserting TWO full-image u8 relayout copies per frame
                 # around the Pallas paste (~0.82 ms at 8K, xprof
                 # 2026-08-20). The serve loop chains out -> dst, so input
-                # and output formats must agree.
-                from jax.experimental.layout import Format, Layout
+                # and output formats must agree. The constraint ALSO
+                # appears in the traced body (with_layout_constraint):
+                # jit-level Format options are not part of the persistent
+                # compile-cache key, so a bare-Format program can be served
+                # a stale pre-pin executable (measured 2026-08-20: pinned
+                # transpose returned the {1,2,0} cached result, then the
+                # serve program hard-failed on the layout mismatch); the
+                # in-body constraint changes the HLO and therefore the key.
+                from jax.experimental.layout import (
+                    Format, Layout, with_layout_constraint)
 
-                fmt = Format(Layout(major_to_minor=(0, 1, 2)),
-                             jax.sharding.SingleDeviceSharding(self.device))
+                lay = Layout(major_to_minor=(0, 1, 2))
+                fmt = Format(lay, jax.sharding.SingleDeviceSharding(self.device))
                 n_args = 6 if self._bucket_exact() else 5  # + true_bbox
-                jit_kwargs = dict(
+
+                def pinned_pipeline(src, dst, mask, bxy, lt, *extra):
+                    dst = with_layout_constraint(dst, lay)
+                    out = base(src, dst, mask, bxy, lt, *extra)
+                    return with_layout_constraint(out, lay)
+
+                fn = jax.jit(
+                    pinned_pipeline,
+                    donate_argnums=donate,
                     in_shardings=(None, fmt) + (None,) * (n_args - 2),
-                    out_shardings=fmt)
-            fn = jax.jit(
-                partial(
-                    clone_pipeline,
-                    bbox_hw=bbox_hw,
-                    flags=flags,
-                    solver=solver,
-                    solver_kwargs=kwargs,
-                    use_pallas_pre=self.config.use_pallas_preprocess,
-                    use_pallas_post=(self.config.use_pallas_postprocess
-                                     and eff in ("dst_gemm", "multigrid")),
-                    mixed_rule=self.config.mixed_rule,
-                    planar_dst=planar_dst,
-                    solver_name=eff,
-                ),
-                donate_argnums=(1,) if self.config.donate_dst else (),
-                **jit_kwargs,
-            )
+                    out_shardings=fmt,
+                )
+            else:
+                fn = jax.jit(base, donate_argnums=donate)
             self._cache[key] = fn
         return fn
 
@@ -416,14 +431,19 @@ class SeamlessClone:
             # the serve program pins its chained dst to the default
             # {2,1,0} layout (see _compiled); the entry conversion must
             # hand it over in that format (one real relayout at loop
-            # entry instead of a bitcast, then zero per-frame copies)
-            from jax.experimental.layout import Format, Layout
+            # entry instead of a bitcast, then zero per-frame copies).
+            # The with_layout_constraint in the BODY keeps the persistent
+            # compile cache from serving the unpinned transpose (the
+            # cache key omits jit Format options — see _compiled)
+            from jax.experimental.layout import (
+                Format, Layout, with_layout_constraint)
 
+            lay = Layout(major_to_minor=(0, 1, 2))
             to_planar = jax.jit(
-                lambda d: jnp.transpose(d, (2, 0, 1)),
+                lambda d: with_layout_constraint(
+                    jnp.transpose(d, (2, 0, 1)), lay),
                 out_shardings=Format(
-                    Layout(major_to_minor=(0, 1, 2)),
-                    jax.sharding.SingleDeviceSharding(self.device)))
+                    lay, jax.sharding.SingleDeviceSharding(self.device)))
         to_inter = jax.jit(lambda d: jnp.transpose(d, (1, 2, 0)))
         src_d = self._track(jax.device_put(src, self.device))
         out = to_planar(self._track(jax.device_put(dst, self.device)))
