@@ -173,6 +173,21 @@ class SeamlessClone:
 
     # -- compilation cache ---------------------------------------------------
 
+    @staticmethod
+    def _planar_pin(device):
+        """(Layout, Format, with_layout_constraint) pinning planar u8
+        images to the default {2,1,0} layout on ``device``. One recipe
+        shared by the serve program's dst input/output (_compiled) and the
+        loop-entry transpose (timed_serve) — the two MUST agree or the
+        serve program hard-fails on a layout mismatch at its first call.
+        """
+        from jax.experimental.layout import (
+            Format, Layout, with_layout_constraint)
+
+        lay = Layout(major_to_minor=(0, 1, 2))
+        fmt = Format(lay, jax.sharding.SingleDeviceSharding(device))
+        return lay, fmt, with_layout_constraint
+
     def _compiled(self, src_shape, dst_shape, bbox_hw, flags, planar_dst=False):
         key = (src_shape, dst_shape, bbox_hw, flags, planar_dst,
                self.config.cache_key_extras())
@@ -228,11 +243,7 @@ class SeamlessClone:
                 # transpose returned the {1,2,0} cached result, then the
                 # serve program hard-failed on the layout mismatch); the
                 # in-body constraint changes the HLO and therefore the key.
-                from jax.experimental.layout import (
-                    Format, Layout, with_layout_constraint)
-
-                lay = Layout(major_to_minor=(0, 1, 2))
-                fmt = Format(lay, jax.sharding.SingleDeviceSharding(self.device))
+                lay, fmt, with_layout_constraint = self._planar_pin(self.device)
                 n_args = 6 if self._bucket_exact() else 5  # + true_bbox
 
                 def pinned_pipeline(src, dst, mask, bxy, lt, *extra):
@@ -435,15 +446,11 @@ class SeamlessClone:
             # The with_layout_constraint in the BODY keeps the persistent
             # compile cache from serving the unpinned transpose (the
             # cache key omits jit Format options — see _compiled)
-            from jax.experimental.layout import (
-                Format, Layout, with_layout_constraint)
-
-            lay = Layout(major_to_minor=(0, 1, 2))
+            lay, fmt, with_layout_constraint = self._planar_pin(self.device)
             to_planar = jax.jit(
                 lambda d: with_layout_constraint(
                     jnp.transpose(d, (2, 0, 1)), lay),
-                out_shardings=Format(
-                    lay, jax.sharding.SingleDeviceSharding(self.device)))
+                out_shardings=fmt)
         to_inter = jax.jit(lambda d: jnp.transpose(d, (1, 2, 0)))
         src_d = self._track(jax.device_put(src, self.device))
         out = to_planar(self._track(jax.device_put(dst, self.device)))

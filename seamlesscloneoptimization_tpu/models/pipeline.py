@@ -152,16 +152,19 @@ def clone_roi(
         mg_true_hw = None
         if mg_post:
             h2s, w2s = dest_roi_u8.shape[1] - 2, dest_roi_u8.shape[2] - 2
+            from seamlesscloneoptimization_tpu.solvers.multigrid import (
+                quarter_path_applies,
+            )
+
             # Pre-padded RHS (preprocess_rhs_padded_pallas) only when the
-            # solver will actually take the quarter branch — mirror its
-            # gates (small grid / _fused_level size floor; the backend
-            # check is implied by mg_post). A gate mismatch is safe: the
-            # solver's true_hw fallback slices the padding back off.
-            small = (min(h2s, w2s) <= 63
-                     or min((h2s - 1) // 2, (w2s - 1) // 2) < 1)
-            if (solver_kwargs.get("padded") == "q" and not small
-                    and solver_kwargs.get("use_pallas", False)
-                    and h2s * w2s >= (1 << 18)):
+            # solver will actually take the quarter branch — the shared
+            # predicate keeps the gates from drifting (the backend check
+            # is implied by mg_post). A gate mismatch is safe either way:
+            # the solver's true_hw fallback slices the padding back off.
+            if (solver_kwargs.get("padded") == "q"
+                    and quarter_path_applies(
+                        h2s, w2s,
+                        use_pallas=solver_kwargs.get("use_pallas", False))):
                 from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
                     preprocess_rhs_padded_pallas,
                 )

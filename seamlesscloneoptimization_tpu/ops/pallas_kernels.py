@@ -1178,14 +1178,24 @@ def erode3_pallas(mask01: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     return out[:h, :w]
 
 
-def _fused_lap_tile(dest_ref, patch_ref, me_ref, *, flags, mixed_rule, h, w,
-                    rows, cols, in_dom, lsh, rsh):
+def _fused_lap_tile(dest_ref, patch_ref, me_ref, *, flags, mixed_rule, th, h,
+                    w, wpk):
     """Shared body of the padded preprocess kernels (_pre_strip_kernel_t /
-    _pre_strip_kernel_p): u8->f32 VMEM casts, guidance, divergence, the
-    in-kernel Dirichlet fold (ref pre_process_kernel_lapXY,
-    seamlessClone_imp.cpp:1992-2007), and interior-validity zeroing on one
-    ghosted (th + 2M, wpk) window. Returns the masked lap tile; the caller
-    only differs in how it shifts/orients the emission."""
+    _pre_strip_kernel_p): the ghosted-window coordinate preamble, u8->f32
+    VMEM casts, guidance, divergence, the in-kernel Dirichlet fold (ref
+    pre_process_kernel_lapXY, seamlessClone_imp.cpp:1992-2007), and
+    interior-validity zeroing on one ghosted (th + 2M, wpk) window.
+    Returns ``(lap, rsh)`` — the masked lap tile plus the lane right-fetch
+    (the natural emitter shifts with it); the callers only differ in how
+    they shift/orient the emission."""
+    m = _M
+    i = pl.program_id(1)
+    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 1)
+    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
+    # lane fetches via _lane_neighbors (roll form: w < wpk always here —
+    # the wrappers size wpk past max(w, wp_out + 1); selects mask the wraps)
+    lsh, rsh = _lane_neighbors(w, wpk)
 
     def to_f32(x):
         if x.dtype == jnp.uint8:
@@ -1225,7 +1235,21 @@ def _fused_lap_tile(dest_ref, patch_ref, me_ref, *, flags, mixed_rule, h, w,
     # zero everything outside the interior (the padded solver chains require
     # exact zeros in the padding)
     valid = (rows >= 1) & (rows <= h - 2) & (cols >= 1) & (cols <= w - 2)
-    return jnp.where(valid, lap, 0.0)
+    return jnp.where(valid, lap, 0.0), rsh
+
+
+def _padded_pre_inputs(dest_roi, patch, mask_roi, hp_out: int, wpk: int,
+                       interpret: bool):
+    """Shared host scaffolding of the padded preprocess wrappers: pad the
+    (C, H, W) dest/patch and the hoisted-erode mask into the ghosted
+    (hp_out + 2M, wpk) window space the halo specs read."""
+    h, w = dest_roi.shape[1], dest_roi.shape[2]
+    pad3 = ((0, 0), (_M, hp_out - h + _M), (0, wpk - w))
+    pad2 = pad3[1:]
+    dp = jnp.pad(dest_roi, pad3)
+    pp = jnp.pad(patch, pad3)
+    me = erode3_pallas((mask_roi != 0).astype(jnp.uint8), interpret=interpret)
+    return dp, pp, jnp.pad(me, pad2)
 
 
 def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
@@ -1247,19 +1271,11 @@ def _pre_strip_kernel_t(dest_ref, patch_ref, me_ref, out_ref, *, flags,
       matrices: no inter-stage relayout slice/pad copies anywhere
       (measured ~2.4 ms of the serve step).
     """
-    m = _M
-    i = pl.program_id(1)
-    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 1)
-    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
-    # lane fetches via _lane_neighbors (roll form: w < wpk always here —
-    # wpk covers wp_out + 1 >= w + ...; the selects mask the wrap lanes)
-    lsh, rsh = _lane_neighbors(w, wpk)
-    lap = _fused_lap_tile(dest_ref, patch_ref, me_ref, flags=flags,
-                          mixed_rule=mixed_rule, h=h, w=w, rows=rows,
-                          cols=cols, in_dom=in_dom, lsh=lsh, rsh=rsh)
+    lap, _ = _fused_lap_tile(dest_ref, patch_ref, me_ref, flags=flags,
+                             mixed_rule=mixed_rule, th=th, h=h, w=w, wpk=wpk)
     # shift the interior to the origin, emit transposed:
     # out[j, r] = lap[y = r+1, x = j+1]
+    m = _M
     lap_s = lap[m + 1 : m + 1 + th, :]      # rows y = i*th+1 .. i*th+th
     # drop border column 0 AFTER the transpose: a sublane slice, which
     # Mosaic supports (the pre-transpose lane-shift pad does not lower)
@@ -1288,12 +1304,8 @@ def preprocess_rhs_transposed_pallas(
     # read width must cover wp_out + 1 columns (cf. the postprocess bwp fix)
     wpk = _round_up(max(w, wp_out + 1), 128)
     th = 128  # lane-dim write offsets must be 128-aligned
-    pad3 = ((0, 0), (_M, hp_out - h + _M), (0, wpk - w))
-    pad2 = ((_M, hp_out - h + _M), (0, wpk - w))
-    dp = jnp.pad(dest_roi, pad3)
-    pp = jnp.pad(patch, pad3)
-    me = erode3_pallas((mask_roi != 0).astype(jnp.uint8), interpret=interpret)
-    mep = jnp.pad(me, pad2)
+    dp, pp, mep = _padded_pre_inputs(dest_roi, patch, mask_roi, hp_out, wpk,
+                                     interpret)
 
     return pl.pallas_call(
         partial(_pre_strip_kernel_t, flags=flags, mixed_rule=mixed_rule,
@@ -1328,18 +1340,12 @@ def _pre_strip_kernel_p(dest_ref, patch_ref, me_ref, out_ref, *, flags,
     immediately re-padded: 2.89 ms/frame at 8K vs ~0.5 for this kernel
     (xprof 2026-08-20, docs/PERF.md).
     """
-    m = _M
-    i = pl.program_id(1)
-    rows = i * th - m + jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2 * m, wpk), 1)
-    in_dom = ((rows >= 0) & (rows < h) & (cols < w)).astype(jnp.float32)
-    lsh, rsh = _lane_neighbors(w, wpk)
-    lap = _fused_lap_tile(dest_ref, patch_ref, me_ref, flags=flags,
-                          mixed_rule=mixed_rule, h=h, w=w, rows=rows,
-                          cols=cols, in_dom=in_dom, lsh=lsh, rsh=rsh)
+    lap, rsh = _fused_lap_tile(dest_ref, patch_ref, me_ref, flags=flags,
+                               mixed_rule=mixed_rule, th=th, h=h, w=w, wpk=wpk)
     # out[r, j] = lap[y = r+1, x = j+1]: sublane shift via the strip slice,
     # lane shift via the same cyclic roll (w < wpk by construction; wrapped
     # lanes carry the exact zeros the validity mask just wrote)
+    m = _M
     shifted = rsh(lap[m + 1 : m + 1 + th, :])
     out_ref[0] = shifted[:, :wp_out]
 
@@ -1369,12 +1375,8 @@ def preprocess_rhs_padded_pallas(
     # the kernel left-shifts by one lane before emitting, so the read width
     # must cover wp_out + 1 columns AND keep w < wpk (roll form, exact wrap)
     wpk = _round_up(max(w, wp_out + 1), 128)
-    pad3 = ((0, 0), (_M, hp_out - h + _M), (0, wpk - w))
-    pad2 = ((_M, hp_out - h + _M), (0, wpk - w))
-    dp = jnp.pad(dest_roi, pad3)
-    pp = jnp.pad(patch, pad3)
-    me = erode3_pallas((mask_roi != 0).astype(jnp.uint8), interpret=interpret)
-    mep = jnp.pad(me, pad2)
+    dp, pp, mep = _padded_pre_inputs(dest_roi, patch, mask_roi, hp_out, wpk,
+                                     interpret)
 
     return pl.pallas_call(
         partial(_pre_strip_kernel_p, flags=flags, mixed_rule=mixed_rule,

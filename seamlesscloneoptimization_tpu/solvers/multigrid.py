@@ -267,6 +267,21 @@ def _fused_level(h: int, w: int, nu1: int, nu2: int, use_pallas, interpret: bool
     return interpret or jax.default_backend() == "tpu"
 
 
+def quarter_path_applies(h: int, w: int, nu1: int = 1, nu2: int = 2,
+                         coarsest: int = 63, use_pallas: bool = True) -> bool:
+    """Backend-independent gates of the fused quarter-plane branch.
+
+    The single source of truth shared by the solver's padded="q" dispatch
+    (which additionally requires the TPU backend or interpret mode) and
+    models/pipeline.py's pre-padded-RHS gate (where the backend check is
+    implied by mg_post) — so the two cannot drift. Mirrors the solver's
+    small-grid floor and _fused_level's size/sweep bounds.
+    """
+    small = min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1
+    return (not small and nu1 >= 1
+            and _fused_level(h, w, nu1, nu2, use_pallas, interpret=True))
+
+
 def _tol_burst(tol: float, max_cycles: int, nu1: int = 1, nu2: int = 2) -> int:
     """Check-free V-cycles to run before the first residual check (zero start).
 
@@ -770,7 +785,8 @@ def _solve_multigrid_jit(
         # hierarchy (vcycle_q has no small branch) and nu1 >= 1 (the
         # quarter descent's red-cell residual identity)
         small = min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1
-        if (padded == "q" and not small and nu1 >= 1
+        if (padded == "q" and quarter_path_applies(h, w, nu1, nu2, coarsest,
+                                                   use_pallas)
                 and _fused_level(h, w, nu1, nu2, use_pallas, interpret)):
             # quarter-plane finest level (vcycle_q): dense <-> quarters
             # conversion once per solve, carry stays split across cycles
@@ -901,7 +917,8 @@ def _solve_multigrid_jit(
     small = min(h, w) <= coarsest or min((h - 1) // 2, (w - 1) // 2) < 1
     if small:
         burst = min(burst, 1)
-    if (padded == "q" and not small and nu1 >= 1
+    if (padded == "q" and quarter_path_applies(h, w, nu1, nu2, coarsest,
+                                               use_pallas)
             and _fused_level(h, w, nu1, nu2, use_pallas, interpret)):
         from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
             from_quarters_pallas, mg_geometry_q, to_quarters_pallas)

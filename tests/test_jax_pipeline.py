@@ -354,8 +354,6 @@ class TestBucketExact:
         the tight arg and silently degraded to pad-bucket accuracy)."""
         import jax.numpy as jnp
 
-        from seamlesscloneoptimization_tpu.core.engine import prepare_inputs
-
         mask = np.zeros(airplane.shape[:2], np.uint8)
         cv2.circle(mask, (150, 97), 60, 255, -1)
         eng = SeamlessClone(CloneConfig(bbox_bucket=128, bucket_exact=True,

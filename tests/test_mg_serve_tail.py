@@ -158,8 +158,7 @@ class TestPrePaddedRhs:
         with pytest.raises(ValueError, match="footprint"):
             solve_multigrid(g, cycles=1, padded="q", true_hw=(500, 500))
 
-    def test_clone_roi_prepads_above_size_floor(self, airplane, sky,
-                                                irregular_mask):
+    def test_clone_roi_prepads_above_size_floor(self):
         """clone_roi(mg tail, padded='q', big ROI) must route the padded
         preprocess + true_hw solve and still match the XLA-postprocess
         result bit-for-bit (the solver's CPU fallback slices the padding)."""
