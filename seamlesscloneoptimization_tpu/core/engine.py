@@ -128,6 +128,25 @@ def prepare_inputs(mask: np.ndarray, src_shape, dst_shape, center, bucket: int =
     return out + ((0, 0, bh, bw),) if return_tight else out
 
 
+def _effective_solver(solver: str, bbox_hw, planar_dst: bool) -> str:
+    """Resolve "auto" to a concrete solver for one compiled program.
+
+    The planar serve programs (timed_serve's chained loop) use the
+    SERVE-mode crossover: the dst chain overlaps its GEMMs across chained
+    frames, so it stays ahead of the O(N) multigrid until ~13 MP (measured
+    2026-08-20: 10.6 MP dst 10.3-10.6 vs mg 11.45; 16.5 MP dst 19.02 vs
+    mg 18.42). Single-shot programs keep the isolated-solve crossover
+    (7 MP, the solver's tolerance contract — docs/PERF.md).
+    """
+    if solver != "auto":
+        return solver
+    from seamlesscloneoptimization_tpu.solvers import (
+        AUTO_CROSSOVER_PIXELS, SERVE_CROSSOVER_PIXELS, auto_solver_name)
+
+    crossover = SERVE_CROSSOVER_PIXELS if planar_dst else AUTO_CROSSOVER_PIXELS
+    return auto_solver_name((3, bbox_hw[0] - 2, bbox_hw[1] - 2), crossover)
+
+
 class SeamlessClone:
     """Reusable seamless-clone instance.
 
@@ -195,15 +214,11 @@ class SeamlessClone:
         if fn is None:
             import dataclasses
 
-            from seamlesscloneoptimization_tpu.solvers import auto_solver_name
-
             # "auto" resolves HERE: the ROI shape is static at compile time,
             # so the engine selects the concrete solver and gives it the
             # full fast serve chain on either side of the crossover (instead
             # of funneling through solve_auto and losing the Pallas tail).
-            eff = self.config.solver
-            if eff == "auto":
-                eff = auto_solver_name((3, bbox_hw[0] - 2, bbox_hw[1] - 2))
+            eff = _effective_solver(self.config.solver, bbox_hw, planar_dst)
             solver = SOLVERS[eff]
             cfg_eff = (self.config if eff == self.config.solver
                        else dataclasses.replace(self.config, solver=eff))

@@ -46,6 +46,13 @@ from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 # multigrid (mg_cycles=4) from ~6 MP up.
 AUTO_CROSSOVER_PIXELS = 7_000_000
 
+# Chained-serve crossover (the engine's planar serve programs): the dst
+# chain overlaps its GEMMs across chained frames, buying it ~2x in
+# MP-equivalents over the isolated-solve comparison — measured 2026-08-20
+# under the shipped defaults: 10.6 MP dst 10.3-10.6 vs mg 11.45 ms/frame,
+# 16.5 MP dst 19.02 vs mg 18.42 (mg wins) -> crossover ~13 MP.
+SERVE_CROSSOVER_PIXELS = 13_000_000
+
 
 def auto_solver_name(shape, crossover: int = AUTO_CROSSOVER_PIXELS) -> str:
     """The size-based selection rule, exposed for tests/introspection."""

@@ -320,6 +320,23 @@ class TestCloneRoiMgTail:
 
 
 class TestAutoResolvesInEngine:
+    def test_serve_programs_use_serve_crossover(self):
+        """Between the isolated-solve crossover (7 MP) and the serve-mode
+        crossover (13 MP), the chained planar serve program must resolve
+        auto to dst_gemm (its GEMMs overlap across chained frames) while
+        the single-shot program picks multigrid (docs/PERF.md)."""
+        from seamlesscloneoptimization_tpu.core.engine import _effective_solver
+
+        mid = (3302, 3302)  # ~10.9 MP: between the two crossovers
+        assert _effective_solver("auto", mid, planar_dst=False) == "multigrid"
+        assert _effective_solver("auto", mid, planar_dst=True) == "dst_gemm"
+        small = (1202, 1202)  # below both
+        big = (4002, 4002)    # above both (16 MP)
+        for planar in (False, True):
+            assert _effective_solver("auto", small, planar) == "dst_gemm"
+            assert _effective_solver("auto", big, planar) == "multigrid"
+            assert _effective_solver("multigrid", small, planar) == "multigrid"
+
     def test_auto_selects_per_shape_and_uses_fast_tail(self, airplane, sky,
                                                        irregular_mask):
         """solver='auto' resolves to a concrete solver at compile time, so
