@@ -66,7 +66,11 @@ class TestPreprocessPaddedPallas:
     (natural-orientation twin of the transposed kernel)."""
 
     @pytest.mark.parametrize("flags", [1, 2])
-    @pytest.mark.parametrize("hw", [(260, 300), (257, 385)])
+    @pytest.mark.parametrize("hw", [(260, 300), (257, 385),
+                                    # width classes at the lane boundary:
+                                    # w-2 mod 128 in {1, 127, 126} and the
+                                    # odd/even height split
+                                    (513, 515), (512, 641), (385, 257)])
     def test_matches_natural_kernel_and_pads_zero(self, hw, flags):
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
             preprocess_rhs_padded_pallas,
