@@ -453,22 +453,29 @@ class SeamlessClone:
         import jax.numpy as jnp
 
         to_planar = jax.jit(lambda d: jnp.transpose(d, (2, 0, 1)))
+        ensure_fmt = lambda x: x  # noqa: E731
         if self.device.platform == "tpu":
             # the serve program pins its chained dst to the default
             # {2,1,0} layout (see _compiled); the entry conversion must
-            # hand it over in that format (one real relayout at loop
-            # entry instead of a bitcast, then zero per-frame copies).
-            # The with_layout_constraint in the BODY keeps the persistent
-            # compile cache from serving the unpinned transpose (the
-            # cache key omits jit Format options — see _compiled)
-            lay, fmt, with_layout_constraint = self._planar_pin(self.device)
-            to_planar = jax.jit(
-                lambda d: with_layout_constraint(
-                    jnp.transpose(d, (2, 0, 1)), lay),
-                out_shardings=fmt)
+            # hand it over in that format. The relayout runs as a RUNTIME
+            # jax.device_put, never through a compiled program: the
+            # persistent compile cache can strip a cached executable's
+            # pinned output layout (measured 2026-08-20 — a Format+
+            # with_layout_constraint transpose came back {1,2,0} from the
+            # cache and the serve program hard-failed on the mismatch), so
+            # compiled-output layouts are treated as advisory and
+            # ensure_fmt self-heals them wherever they feed a pinned input.
+            lay, fmt, _ = self._planar_pin(self.device)
+            expect = lay.major_to_minor
+
+            def ensure_fmt(x):
+                if x.format.layout.major_to_minor != expect:
+                    return jax.device_put(x, fmt)
+                return x
+
         to_inter = jax.jit(lambda d: jnp.transpose(d, (1, 2, 0)))
         src_d = self._track(jax.device_put(src, self.device))
-        out = to_planar(self._track(jax.device_put(dst, self.device)))
+        out = ensure_fmt(to_planar(self._track(jax.device_put(dst, self.device))))
         m_d = self._track(jax.device_put(m, self.device))
         bxy = jax.device_put(np.array([x0, y0], np.int32), self.device)
         lt = jax.device_put(np.array([left, top], np.int32), self.device)
@@ -481,6 +488,11 @@ class SeamlessClone:
         sync = jax.jit(lambda x: jnp.max(x))  # block_until_ready can lie via tunnels
         out = fn(src_d, out, m_d, bxy, lt, *extra)  # warm-up / compile
         float(sync(out))  # also compiles the sync op outside the timed window
+        # a stale-cache serve executable may emit the unpinned layout; if
+        # so, every frame re-pins (correct, merely back at the pre-pin cost)
+        healed = ensure_fmt(out)
+        heal = healed is not out
+        out = healed
         rpc_ms = self._sync_overhead_ms()
 
         def one_pass():
@@ -488,6 +500,8 @@ class SeamlessClone:
             t0 = time.perf_counter()
             for _ in range(loops):
                 out = fn(src_d, out, m_d, bxy, lt, *extra)
+                if heal:
+                    out = ensure_fmt(out)
             float(sync(out))
             return max(((time.perf_counter() - t0) * 1e3 - rpc_ms) / loops, 1e-6)
 

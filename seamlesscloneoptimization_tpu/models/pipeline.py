@@ -166,14 +166,16 @@ def clone_roi(
                         h2s, w2s,
                         use_pallas=solver_kwargs.get("use_pallas", False))):
                 from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
-                    preprocess_rhs_padded_pallas,
+                    preprocess_rhs_quarters_pallas,
                 )
                 from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
                     mg_geometry_q,
                 )
 
+                # the RHS is born as checkerboard quarters: the solver's
+                # to_quarters_pallas full-array round-trip disappears
                 _, hq, wq2, _ = mg_geometry_q(h2s, w2s)
-                g = preprocess_rhs_padded_pallas(
+                g = preprocess_rhs_quarters_pallas(
                     dest_roi_u8, patch_in, mask_roi, (2 * hq, 2 * wq2),
                     kflags, mixed_rule)
                 mg_true_hw = (h2s, w2s)

@@ -86,26 +86,35 @@ def from_quarters(uq: jnp.ndarray) -> jnp.ndarray:
     return q.reshape(c, 2 * hq, 2 * wq)
 
 
-def _to_q_kernel(a_ref, b_ref, out_ref):
-    """Two dense 128-row slabs -> one (4, 128, wq2) stacked quarter block.
+def dense_to_quarters_tile(xw):
+    """In-VMEM (2R, WP) dense tile -> (EE, EO, OE, OO) quarter tiles (R, WP/2).
 
     The lane-parity split rides an in-VMEM transpose (sublane reshapes are
     Mosaic-legal, lane ones are not); the row-parity split is a sublane
     reshape. XLA's own lowering of this conversion was the whole
     pathology: 81 of the 93 ms/solve at 8K (generic 5D reshapes + layout
-    copies at ~5 GB/s, solve_fix4_q XProf 2026-08-20).
+    copies at ~5 GB/s, solve_fix4_q XProf 2026-08-20). Shared by
+    to_quarters_pallas and the quarter-emitting preprocess
+    (pallas_kernels.preprocess_rhs_quarters_pallas).
     """
-    xw = jnp.concatenate([a_ref[0], b_ref[0]], axis=0)   # (256, wp_d)
-    t = jnp.transpose(xw, (1, 0))                        # (wp_d, 256)
-    pr = t.reshape(t.shape[0] // 2, 2, 256)
-    e = jnp.transpose(pr[:, 0, :], (1, 0))               # (256, wq2) even lanes
+    rows = xw.shape[0]
+    t = jnp.transpose(xw, (1, 0))                        # (WP, 2R)
+    pr = t.reshape(t.shape[0] // 2, 2, rows)
+    e = jnp.transpose(pr[:, 0, :], (1, 0))               # (2R, WP/2) even lanes
     o = jnp.transpose(pr[:, 1, :], (1, 0))
-    er = e.reshape(128, 2, e.shape[1])
-    orr = o.reshape(128, 2, o.shape[1])
-    out_ref[0, 0] = er[:, 0, :]   # EE
-    out_ref[0, 1] = orr[:, 0, :]  # EO
-    out_ref[0, 2] = er[:, 1, :]   # OE
-    out_ref[0, 3] = orr[:, 1, :]  # OO
+    er = e.reshape(rows // 2, 2, e.shape[1])
+    orr = o.reshape(rows // 2, 2, o.shape[1])
+    return er[:, 0, :], orr[:, 0, :], er[:, 1, :], orr[:, 1, :]
+
+
+def _to_q_kernel(a_ref, b_ref, out_ref):
+    """Two dense 128-row slabs -> one (4, 128, wq2) stacked quarter block."""
+    xw = jnp.concatenate([a_ref[0], b_ref[0]], axis=0)   # (256, wp_d)
+    ee, eo, oe, oo = dense_to_quarters_tile(xw)
+    out_ref[0, 0] = ee
+    out_ref[0, 1] = eo
+    out_ref[0, 2] = oe
+    out_ref[0, 3] = oo
 
 
 def to_quarters_pallas(x_p: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:

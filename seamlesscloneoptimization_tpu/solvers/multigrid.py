@@ -757,18 +757,35 @@ def _solve_multigrid_jit(
     if padded_output and return_info:
         raise ValueError("padded_output is exclusive with return_info")
     g_prepad = None
+    g_prequarters = None
     if true_hw is not None:
         if padded != "q":
             raise ValueError("true_hw (pre-padded g) requires padded='q'")
         from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
-            mg_geometry_q)
+            from_quarters, mg_geometry_q)
 
         _, hq_c, wq2_c, _ = mg_geometry_q(*true_hw)
-        if g.shape[1:] != (2 * hq_c, 2 * wq2_c):
-            raise ValueError(
-                f"pre-padded g {g.shape} does not match the quarter-geometry "
-                f"footprint {(2 * hq_c, 2 * wq2_c)} for true_hw={true_hw}")
-        g_prepad, g = g, g[:, : true_hw[0], : true_hw[1]]
+        if g.ndim == 4:
+            # g born as checkerboard quarters (preprocess_rhs_quarters_pallas):
+            # the fused branches consume it with ZERO conversion passes; the
+            # XLA from_quarters below is traced only for the non-fused
+            # fallback (small grids / non-TPU) and is dead code otherwise.
+            if g.shape[1:] != (4, hq_c, wq2_c):
+                raise ValueError(
+                    f"pre-quartered g {g.shape} does not match the quarter "
+                    f"geometry {(4, hq_c, wq2_c)} for true_hw={true_hw}")
+            if u0 is not None or fmg_start or pcg or return_info:
+                raise ValueError(
+                    "quartered g supports only the zero-start padded='q' "
+                    "modes (no u0/fmg_start/pcg/return_info)")
+            g_prequarters = g
+            g = from_quarters(g)[:, : true_hw[0], : true_hw[1]]
+        else:
+            if g.shape[1:] != (2 * hq_c, 2 * wq2_c):
+                raise ValueError(
+                    f"pre-padded g {g.shape} does not match the quarter-geometry "
+                    f"footprint {(2 * hq_c, 2 * wq2_c)} for true_hw={true_hw}")
+            g_prepad, g = g, g[:, : true_hw[0], : true_hw[1]]
     if u0 is not None:
         u = u0
     elif fmg_start:
@@ -797,10 +814,13 @@ def _solve_multigrid_jit(
             _, hq, wq2, _ = qgeom
             # Pallas conversions: XLA's generic lowering of the 5D parity
             # reshapes measured 81 of 93 ms/solve at 8K (xprof 2026-08-20)
-            g_q = to_quarters_pallas(
-                g_prepad if g_prepad is not None
-                else _pad_to(g, (c, 2 * hq, 2 * wq2)),
-                interpret=interpret)
+            if g_prequarters is not None:
+                g_q = g_prequarters  # born quartered: zero conversion passes
+            else:
+                g_q = to_quarters_pallas(
+                    g_prepad if g_prepad is not None
+                    else _pad_to(g, (c, 2 * hq, 2 * wq2)),
+                    interpret=interpret)
             from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import _MQ
 
             if cycles >= 1 and nu1 + nu2 + 2 <= _MQ:
@@ -869,7 +889,11 @@ def _solve_multigrid_jit(
             return u, {"cycles": jnp.int32(cycles),
                        "residual": jnp.max(jnp.abs(residual(u, g)))}
         return u
-    gnorm = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
+    # norm over the born-quartered form when present: |g| is invariant
+    # under the parity permutation + zero padding, and reading the dense
+    # view would materialize the (fallback-only) XLA conversion
+    g_norm_src = g_prequarters if g_prequarters is not None else g
+    gnorm = jnp.maximum(jnp.max(jnp.abs(g_norm_src)), 1e-30)
     # Zero start: the first _tol_burst(tol) cycles run check-free (see its
     # docstring); the while_loop then verifies the tolerance from there.
     burst = (0 if (u0 is not None or fmg_start or pcg)
@@ -925,10 +949,13 @@ def _solve_multigrid_jit(
 
         qgeom = mg_geometry_q(h, w)
         _, hq, wq2, _ = qgeom
-        g_q = to_quarters_pallas(
-            g_prepad if g_prepad is not None
-            else _pad_to(g, (c, 2 * hq, 2 * wq2)),
-            interpret=interpret)
+        if g_prequarters is not None:
+            g_q = g_prequarters  # born quartered: zero conversion passes
+        else:
+            g_q = to_quarters_pallas(
+                g_prepad if g_prepad is not None
+                else _pad_to(g, (c, 2 * hq, 2 * wq2)),
+                interpret=interpret)
 
         # The check is FUSED into the ascent kernel (mg_up_q_pallas
         # with_residual): red-cell residual max computed in-VMEM during the
@@ -958,7 +985,7 @@ def _solve_multigrid_jit(
         zero0 = u0 is None and not fmg_start
         if zero0:  # zero guess: skip a conversion
             uq0 = jnp.zeros((c, 4, hq, wq2), g.dtype)
-            rmax0 = jnp.max(jnp.abs(g))  # residual of the zero guess
+            rmax0 = jnp.max(jnp.abs(g_norm_src))  # residual of the zero guess
         else:
             uq0 = to_quarters_pallas(_pad_to(u, (c, 2 * hq, 2 * wq2)),
                                      interpret=interpret)

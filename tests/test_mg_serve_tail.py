@@ -30,6 +30,7 @@ def _interp_mocks():
     return [
         mock.patch.object(PK, name, force_interp(getattr(PK, name)))
         for name in ("preprocess_rhs_pallas", "preprocess_rhs_padded_pallas",
+                     "preprocess_rhs_quarters_pallas",
                      "clamp_cast_pallas",
                      "clamp_cast_guarded_pallas", "paste_interior_pallas",
                      # the dst_gemm serve chain (the 'auto' engine test
@@ -148,6 +149,44 @@ class TestPrePaddedRhs:
         assert got.shape == g.shape
         assert np.array_equal(np.asarray(got), np.asarray(want))
 
+    def test_quartered_g_matches_plain_q(self):
+        """g born as checkerboard quarters (ndim=4): identical solve."""
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            to_quarters,
+        )
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        h, w = 511, 517
+        g = _rand((1, h, w), seed=15)
+        gq = to_quarters(self._prepad(g))
+        for kw in ({"cycles": 2}, {"tol": 1e-3}):
+            want = solve_multigrid(g, use_pallas=True, interpret=True,
+                                   padded="q", **kw)
+            got = solve_multigrid(gq, use_pallas=True, interpret=True,
+                                  padded="q", true_hw=(h, w), **kw)
+            assert np.array_equal(np.asarray(got), np.asarray(want)), kw
+
+    def test_quartered_g_fallback_and_validation(self):
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            to_quarters,
+        )
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        # fallback (below the fuse floor): the XLA from_quarters view runs
+        h, w = 200, 220
+        g = _rand((1, h, w), seed=16)
+        gq = to_quarters(self._prepad(g))
+        want = solve_multigrid(g, cycles=3, padded="q", use_pallas=True)
+        got = solve_multigrid(gq, cycles=3, padded="q", use_pallas=True,
+                              true_hw=(h, w))
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+        with pytest.raises(ValueError, match="quarter geometry"):
+            solve_multigrid(gq[:, :, :64], cycles=1, padded="q",
+                            use_pallas=True, true_hw=(h, w))
+        with pytest.raises(ValueError, match="zero-start"):
+            solve_multigrid(gq, cycles=1, padded="q", use_pallas=True,
+                            true_hw=(h, w), return_info=True)
+
     def test_true_hw_validation(self):
         from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 
@@ -178,7 +217,7 @@ class TestPrePaddedRhs:
         ref = np.asarray(P.clone_roi(dest, patch, mask, 1, solve_multigrid,
                                      {"cycles": 2}))
         calls = []
-        orig = PK.preprocess_rhs_padded_pallas
+        orig = PK.preprocess_rhs_quarters_pallas
 
         def spy(*a, **k):
             calls.append(a[3])
@@ -190,7 +229,7 @@ class TestPrePaddedRhs:
             es.enter_context(mock.patch.object(
                 P, "_pallas_backend_available", lambda: True))
             es.enter_context(mock.patch.object(
-                PK, "preprocess_rhs_padded_pallas", spy))
+                PK, "preprocess_rhs_quarters_pallas", spy))
             got = np.asarray(P.clone_roi(
                 dest, patch, mask, 1, solve_multigrid, kw,
                 use_pallas_pre=True, use_pallas_post=True,

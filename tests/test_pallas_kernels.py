@@ -96,6 +96,33 @@ class TestPreprocessPaddedPallas:
         assert not np.asarray(gp[:, h2:, :]).any()
         assert not np.asarray(gp[:, :, w2:]).any()
 
+    @pytest.mark.parametrize("flags", [1, 2])
+    @pytest.mark.parametrize("hw", [(260, 300), (513, 515)])
+    def test_quarters_kernel_matches_padded(self, hw, flags):
+        """preprocess_rhs_quarters_pallas == to_quarters(padded kernel)."""
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            preprocess_rhs_padded_pallas,
+            preprocess_rhs_quarters_pallas,
+        )
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            mg_geometry_q,
+            to_quarters,
+        )
+
+        h, w = hw
+        rng = np.random.default_rng(7)
+        dest = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.uint8))
+        patch = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.uint8))
+        mask = jnp.asarray((rng.random((h, w)) > 0.3).astype(np.uint8) * 255)
+        patch = jnp.where(mask[None] != 0, patch, jnp.uint8(0))
+        _, hq, wq2, _ = mg_geometry_q(h - 2, w - 2)
+        want = to_quarters(preprocess_rhs_padded_pallas(
+            dest, patch, mask, (2 * hq, 2 * wq2), flags, interpret=True))
+        got = preprocess_rhs_quarters_pallas(
+            dest, patch, mask, (2 * hq, 2 * wq2), flags, interpret=True)
+        assert got.shape == (3, 4, hq, wq2)
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
     def test_f32_patch_monochrome_style(self):
         """MONOCHROME pre-grays the patch to non-integer f32 on the caller
         side; the kernel must accept mixed u8/f32 inputs (flags=1 there)."""
