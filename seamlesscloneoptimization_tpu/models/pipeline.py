@@ -205,7 +205,19 @@ def clone_roi(
         h2, w2 = dest_roi_u8.shape[1] - 2, dest_roi_u8.shape[2] - 2
         if mg_true_hw is not None:
             solver_kwargs = dict(solver_kwargs, true_hw=mg_true_hw)
-        u_p = solver(g, padded_output=True, **solver_kwargs)
+        # guarded planar serve + quarter path: ask for the checkerboard
+        # carry AS IS (padded_output="quarters") — the interleave runs
+        # inside the guarded clamp, killing the from_quarters round-trip.
+        # A solver fallback returns dense; dispatch on ndim below.
+        want_q = guarded and return_inset and mg_true_hw is not None
+        u_p = solver(g, padded_output="quarters" if want_q else True,
+                     **solver_kwargs)
+        if u_p.ndim == 4:
+            from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+                clamp_cast_guarded_quarters_pallas,
+            )
+
+            return clamp_cast_guarded_quarters_pallas(u_p), "guarded256"
         _, hu, wu = u_p.shape
         hp128 = -(-hu // 128) * 128
         wp128 = -(-wu // 128) * 128
@@ -390,15 +402,18 @@ def clone_pipeline(
     )
 
     if planar_dst:
-        if inset == "guarded":
+        if inset in ("guarded", "guarded256"):
             # tile-local Pallas paste: XLA's dus re-materializes ~4x the
-            # touched bytes (measured 0.4-0.47 ms for this 11 MB update)
+            # touched bytes (measured 0.4-0.47 ms for this 11 MB update);
+            # "guarded256" slabs come from the quarters-consuming clamp
+            # (row ring 256)
             from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
                 paste_interior_pallas,
             )
 
             return paste_interior_pallas(
-                dst, blended_roi, top + 1, left + 1, bh - 2, bw - 2)
+                dst, blended_roi, top + 1, left + 1, bh - 2, bw - 2,
+                ring_r=256 if inset == "guarded256" else 128)
         return jax.lax.dynamic_update_slice(
             dst, blended_roi, (jnp.int32(0), top + inset, left + inset))
     out_roi = planar_to_interleaved(blended_roi)  # (bh-2*inset, bw-2*inset, C)

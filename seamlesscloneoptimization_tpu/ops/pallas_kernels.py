@@ -1670,6 +1670,51 @@ def clamp_cast_guarded_pallas(u: jnp.ndarray, interpret: bool = False) -> jnp.nd
     return out
 
 
+def _clamp_guard_q_kernel(q_ref, out_ref):
+    """One (4, 128, 128) quarter block -> a clamped u8 (256, 256) dense
+    block of the guarded slab (interleave + clamp + truncate-cast fused)."""
+    from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+        quarters_to_dense_tile,
+    )
+
+    ee, eo, oe, oo = (q_ref[0, i] for i in range(4))
+    dense = quarters_to_dense_tile(ee, eo, oe, oo)
+    out_ref[0] = jnp.clip(dense, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def clamp_cast_guarded_quarters_pallas(uq: jnp.ndarray,
+                                       interpret: bool = False) -> jnp.ndarray:
+    """clamp_cast_guarded straight from the CHECKERBOARD QUARTERS solve.
+
+    uq: (C, 4, HQ, WQ) f32 (solve_multigrid padded_output="quarters") —
+    the quarters->dense interleave runs IN VMEM per block, so the solver's
+    from_quarters_pallas full-array round-trip plus the dense re-read
+    disappear from the serve tail. Output: a guarded slab for
+    paste_interior_pallas with ring_r=256 (the row ring is 256 so the
+    (256, 256) dense blocks stay ring-aligned; the column ring stays
+    _PASTE_CW with 256-wide blocks at index j+2). As with the dense
+    guarded kernel, the ring and the [WP, WP5) ragged region are
+    unwritten garbage the paste's in-range select masks.
+    """
+    c, four, hq, wq2 = uq.shape
+    assert four == 4 and hq % 128 == 0 and wq2 % 128 == 0, uq.shape
+    cw = _PASTE_CW
+    hp, wp = 2 * hq, 2 * wq2
+    wp5 = _round_up(wp, cw)
+    ring_r = 256
+    out = pl.pallas_call(
+        _clamp_guard_q_kernel,
+        grid=(c, hq // 128, wq2 // 128),
+        in_specs=[pl.BlockSpec((1, 4, 128, 128), lambda ci, i, j: (ci, 0, i, j))],
+        out_specs=pl.BlockSpec((1, 256, 256),
+                               lambda ci, i, j: (ci, i + 1, j + cw // 256)),
+        out_shape=jax.ShapeDtypeStruct(
+            (c, hp + 2 * ring_r, wp5 + 2 * cw), jnp.uint8),
+        interpret=interpret,
+    )(uq)
+    return out
+
+
 def _paste_kernel(s_ref, int_ref, dstin_ref, out_ref, *, th, cw, h2, w2, hd, wd):
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -1701,6 +1746,7 @@ def paste_interior_pallas(
     h2: int,
     w2: int,
     interpret: bool = False,
+    ring_r: int = 128,
 ) -> jnp.ndarray:
     """Paste the solved interior into the planar destination, in place.
 
@@ -1717,13 +1763,16 @@ def paste_interior_pallas(
     ucRGB_Output).
 
     dst_p: (C, Hd, Wd) u8 planar destination (donated/aliased).
-    interior_g: guarded slab from clamp_cast_guarded_pallas, data =
-      (h2, w2) interior at its origin.
+    interior_g: guarded slab from clamp_cast_guarded_pallas (ring_r=128)
+      or clamp_cast_guarded_quarters_pallas (ring_r=256), data =
+      (h2, w2) interior at offset (ring_r, _PASTE_CW).
     top1/left1: traced int32 paste offsets (top+1, left+1).
+    ring_r: the slab's row guard size (must be >= 128).
     """
     c, hd, wd = dst_p.shape
     th, cw = 128, _PASTE_CW
-    hp = interior_g.shape[1] - 2 * th
+    assert ring_r >= 128 and ring_r % 8 == 0, ring_r
+    hp = interior_g.shape[1] - 2 * ring_r
     wp5 = interior_g.shape[2] - 2 * cw
     nbr = hp // th + 1
     nbc = wp5 // cw + 1
@@ -1739,7 +1788,10 @@ def paste_interior_pallas(
         bc = jnp.minimum(s_ref[1] // cw + j, (wd + cw - 1) // cw - 1)
         rel_r = br - s_ref[0] // th
         rel_c = bc - s_ref[1] // cw
-        return (ci, pl.multiple_of(rel_r * th, 8), pl.multiple_of(rel_c * cw, 128))
+        # data sits at row offset ring_r; the kernel's roll math assumes
+        # the window starts th rows above the block's data rows
+        return (ci, pl.multiple_of(rel_r * th + (ring_r - th), 8),
+                pl.multiple_of(rel_c * cw, 128))
 
     return pl.pallas_call(
         partial(_paste_kernel, th=th, cw=cw, h2=h2, w2=w2, hd=hd, wd=wd),

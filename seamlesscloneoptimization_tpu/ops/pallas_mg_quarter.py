@@ -136,15 +136,23 @@ def to_quarters_pallas(x_p: jnp.ndarray, interpret: bool = False) -> jnp.ndarray
     )(x_p, x_p)
 
 
+def quarters_to_dense_tile(ee, eo, oe, oo):
+    """In-VMEM (R, W) quarter tiles -> the (2R, 2W) dense tile (inverse of
+    dense_to_quarters_tile; shared by from_quarters_pallas and the
+    quarters-consuming guarded clamp in pallas_kernels)."""
+    rows = 2 * ee.shape[0]
+    e = jnp.stack([ee, oe], axis=1).reshape(rows, ee.shape[1])  # even lanes
+    o = jnp.stack([eo, oo], axis=1).reshape(rows, eo.shape[1])
+    et = jnp.transpose(e, (1, 0))                               # (W, 2R)
+    ot = jnp.transpose(o, (1, 0))
+    inter = jnp.stack([et, ot], axis=1).reshape(2 * et.shape[0], rows)
+    return jnp.transpose(inter, (1, 0))                         # (2R, 2W)
+
+
 def _from_q_kernel(q_ref, out_ref):
     """One (4, 128, wq2) quarter block -> a dense (256, wp_d) slab."""
     ee, eo, oe, oo = (q_ref[0, i] for i in range(4))
-    e = jnp.stack([ee, oe], axis=1).reshape(256, ee.shape[1])  # even lanes
-    o = jnp.stack([eo, oo], axis=1).reshape(256, eo.shape[1])
-    et = jnp.transpose(e, (1, 0))                              # (wq2, 256)
-    ot = jnp.transpose(o, (1, 0))
-    inter = jnp.stack([et, ot], axis=1).reshape(2 * et.shape[0], 256)
-    out_ref[0] = jnp.transpose(inter, (1, 0))                  # (256, wp_d)
+    out_ref[0] = quarters_to_dense_tile(ee, eo, oe, oo)
 
 
 def from_quarters_pallas(uq: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:

@@ -744,8 +744,13 @@ def _solve_multigrid_jit(
     and returns the solver's internal padded array (exact zeros outside
     the true (h, w) domain — the Pallas serve tail feeds it straight into
     the guarded clamp+cast, saving a crop + re-pad pass; VERDICT r3
-    missing #3). Non-padded branches return the exact-size solution (the
-    caller pads). Exclusive with ``return_info``.
+    missing #3). ``padded_output="quarters"`` goes further on the
+    padded="q" branches: the (C, 4, HQ, WQ) checkerboard carry is returned
+    AS IS (clamp_cast_guarded_quarters_pallas interleaves it in VMEM), so
+    the from_quarters pass disappears too; branches without a quarters
+    carry degrade to their dense padded/exact-size result — callers
+    dispatch on ndim. Non-padded branches return the exact-size solution
+    (the caller pads). Exclusive with ``return_info``.
 
     ``true_hw=(h, w)`` declares ``g`` PRE-PADDED to the quarter geometry's
     dense footprint (preprocess_rhs_padded_pallas: interior RHS at the
@@ -843,6 +848,8 @@ def _solve_multigrid_jit(
                     lambda _, x: vcycle_q(x, g_q, h, w, nu1, nu2, coarsest,
                                           interpret=interpret, geom=qgeom),
                     uq0)
+            if padded_output == "quarters":
+                return uq  # serve tail consumes the checkerboard directly
             u = from_quarters_pallas(uq, interpret=interpret)
             if not padded_output:
                 u = u[:, :h, :w]
@@ -1009,6 +1016,8 @@ def _solve_multigrid_jit(
                                   with_residual=True)
         uq, _, it = jax.lax.while_loop(cond_q, body_q,
                                        (uq0, rmax0, jnp.int32(burst)))
+        if padded_output == "quarters":
+            return uq  # serve tail consumes the checkerboard directly
         u = from_quarters_pallas(uq, interpret=interpret)
         if not padded_output:
             u = u[:, :h, :w]

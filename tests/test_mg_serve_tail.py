@@ -31,8 +31,9 @@ def _interp_mocks():
         mock.patch.object(PK, name, force_interp(getattr(PK, name)))
         for name in ("preprocess_rhs_pallas", "preprocess_rhs_padded_pallas",
                      "preprocess_rhs_quarters_pallas",
-                     "clamp_cast_pallas",
-                     "clamp_cast_guarded_pallas", "paste_interior_pallas",
+                     "clamp_cast_pallas", "clamp_cast_guarded_pallas",
+                     "clamp_cast_guarded_quarters_pallas",
+                     "paste_interior_pallas",
                      # the dst_gemm serve chain (the 'auto' engine test
                      # resolves below-crossover ROIs to dst_gemm)
                      "preprocess_rhs_transposed_pallas", "erode3_pallas",
@@ -236,6 +237,93 @@ class TestPrePaddedRhs:
                 solver_name="multigrid"))
         assert calls, "the pre-padded preprocess path was never exercised"
         assert np.array_equal(got, ref)
+
+
+class TestQuartersServeTail:
+    """padded_output="quarters" + clamp_cast_guarded_quarters_pallas: the
+    serve tail consumes the checkerboard carry directly (no from_quarters
+    round-trip)."""
+
+    def test_guarded_quarters_slab_and_paste_match_dense(self):
+        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
+            clamp_cast_guarded_pallas,
+            clamp_cast_guarded_quarters_pallas,
+            paste_interior_pallas,
+        )
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            to_quarters,
+        )
+
+        rng = np.random.default_rng(0)
+        hq, wq2 = 256, 384
+        u = jnp.asarray(rng.normal(size=(3, 2 * hq, 2 * wq2)).astype(np.float32) * 200)
+        slab_d = clamp_cast_guarded_pallas(u, interpret=True)
+        slab_q = clamp_cast_guarded_quarters_pallas(to_quarters(u), interpret=True)
+        cw = 512
+        assert np.array_equal(
+            np.asarray(slab_d)[:, 128:128 + 2 * hq, cw:cw + 2 * wq2],
+            np.asarray(slab_q)[:, 256:256 + 2 * hq, cw:cw + 2 * wq2])
+        hd, wd = 1200, 1800
+        dstp = jnp.asarray(rng.integers(0, 256, (3, hd, wd)).astype(np.uint8))
+        h2, w2 = 2 * hq - 5, 2 * wq2 - 7   # ragged interior in the padding
+        a = paste_interior_pallas(dstp, slab_d, jnp.int32(301), jnp.int32(417),
+                                  h2, w2, interpret=True)
+        b = paste_interior_pallas(dstp, slab_q, jnp.int32(301), jnp.int32(417),
+                                  h2, w2, interpret=True, ring_r=256)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_solver_quarters_output_matches_padded(self):
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            from_quarters,
+        )
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        h, w = 511, 517
+        g = _rand((1, h, w), seed=21)
+        for kw in ({"cycles": 2}, {"tol": 1e-3}):
+            want = solve_multigrid(g, use_pallas=True, interpret=True,
+                                   padded="q", padded_output=True, **kw)
+            uq = solve_multigrid(g, use_pallas=True, interpret=True,
+                                 padded="q", padded_output="quarters", **kw)
+            assert uq.ndim == 4, kw
+            assert np.array_equal(np.asarray(from_quarters(uq)),
+                                  np.asarray(want)), kw
+
+    def test_clone_roi_guarded256_matches_reference(self):
+        """Big guarded ROI routes quarters end-to-end; pasted result equals
+        the plain XLA-postprocess clone."""
+        from seamlesscloneoptimization_tpu.models import pipeline as P
+        from seamlesscloneoptimization_tpu.ops import pallas_kernels as PK
+        from seamlesscloneoptimization_tpu.solvers import solve_multigrid
+
+        h, w = 522, 530
+        rng = np.random.default_rng(9)
+        dest = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.uint8))
+        patch = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.uint8))
+        mask = np.zeros((h, w), np.uint8)
+        mask[2:-2, 2:-2] = 255
+        mask = jnp.asarray(mask)
+        patch = jnp.where(mask[None] != 0, patch, jnp.uint8(0))
+        kw = {"cycles": 2, "padded": "q", "use_pallas": True}
+        ref = np.asarray(P.clone_roi(dest, patch, mask, 1, solve_multigrid,
+                                     {"cycles": 2}))
+        with contextlib.ExitStack() as es:
+            for p in _interp_mocks():
+                es.enter_context(p)
+            es.enter_context(mock.patch.object(
+                P, "_pallas_backend_available", lambda: True))
+            slab, tag = P.clone_roi(
+                dest, patch, mask, 1, solve_multigrid, kw,
+                use_pallas_pre=True, use_pallas_post=True,
+                solver_name="multigrid", return_inset=True, guarded=True)
+            # CPU fallback returns dense -> "guarded"; with the solver's
+            # fused gates mocked unavailable both tags are legal — paste
+            # with the matching ring and compare
+            ring = 256 if tag == "guarded256" else 128
+            out = PK.paste_interior_pallas(
+                dest, slab, jnp.int32(1), jnp.int32(1), h - 2, w - 2,
+                interpret=True, ring_r=ring)
+        assert np.array_equal(np.asarray(out), ref)
 
 
 class TestCloneRoiMgTail:
