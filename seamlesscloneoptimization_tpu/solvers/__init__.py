@@ -49,8 +49,10 @@ AUTO_CROSSOVER_PIXELS = 7_000_000
 # Chained-serve crossover (the engine's planar serve programs): the dst
 # chain overlaps its GEMMs across chained frames, buying it ~2x in
 # MP-equivalents over the isolated-solve comparison — measured 2026-08-20
-# under the shipped defaults: 10.6 MP dst 10.3-10.6 vs mg 11.45 ms/frame,
-# 16.5 MP dst 19.02 vs mg 18.42 (mg wins) -> crossover ~13 MP.
+# under the shipped defaults: 10.6 MP dst 10.3-10.6 vs mg tol 10.76
+# ms/frame (bands touching after the quarters serve-tail campaign),
+# 16.5 MP dst 19.02 vs mg 18.42 (mg clearly ahead) -> crossover ~12-13 MP;
+# 13 MP keeps the dst path wherever the bands still overlap.
 SERVE_CROSSOVER_PIXELS = 13_000_000
 
 
