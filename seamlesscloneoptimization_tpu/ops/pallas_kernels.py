@@ -1702,12 +1702,19 @@ def clamp_cast_guarded_quarters_pallas(uq: jnp.ndarray,
     hp, wp = 2 * hq, 2 * wq2
     wp5 = _round_up(wp, cw)
     ring_r = 256
+    # dense column-block width: the data must land at column offset cw
+    # exactly, so the block width must divide cw (SCL_PASTE_CW=128 A/B:
+    # 256-wide blocks would place data at offset 0 and silently corrupt
+    # the paste — caught in review 2026-08-20)
+    dcw = 256 if cw % 256 == 0 else 128
+    assert cw % dcw == 0, (cw, dcw)
     out = pl.pallas_call(
         _clamp_guard_q_kernel,
-        grid=(c, hq // 128, wq2 // 128),
-        in_specs=[pl.BlockSpec((1, 4, 128, 128), lambda ci, i, j: (ci, 0, i, j))],
-        out_specs=pl.BlockSpec((1, 256, 256),
-                               lambda ci, i, j: (ci, i + 1, j + cw // 256)),
+        grid=(c, hq // 128, wq2 // (dcw // 2)),
+        in_specs=[pl.BlockSpec((1, 4, 128, dcw // 2),
+                               lambda ci, i, j: (ci, 0, i, j))],
+        out_specs=pl.BlockSpec((1, 256, dcw),
+                               lambda ci, i, j: (ci, i + 1, j + cw // dcw)),
         out_shape=jax.ShapeDtypeStruct(
             (c, hp + 2 * ring_r, wp5 + 2 * cw), jnp.uint8),
         interpret=interpret,

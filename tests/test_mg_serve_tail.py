@@ -244,12 +244,12 @@ class TestQuartersServeTail:
     serve tail consumes the checkerboard carry directly (no from_quarters
     round-trip)."""
 
-    def test_guarded_quarters_slab_and_paste_match_dense(self):
-        from seamlesscloneoptimization_tpu.ops.pallas_kernels import (
-            clamp_cast_guarded_pallas,
-            clamp_cast_guarded_quarters_pallas,
-            paste_interior_pallas,
-        )
+    @pytest.mark.parametrize("cw", [512, 128])
+    def test_guarded_quarters_slab_and_paste_match_dense(self, cw):
+        """Both the default and the SCL_PASTE_CW=128 A/B column blocks
+        (the 128 case silently corrupted the paste before the dcw fix)."""
+        from seamlesscloneoptimization_tpu.ops import pallas_kernels as PK
+
         from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
             to_quarters,
         )
@@ -257,19 +257,21 @@ class TestQuartersServeTail:
         rng = np.random.default_rng(0)
         hq, wq2 = 256, 384
         u = jnp.asarray(rng.normal(size=(3, 2 * hq, 2 * wq2)).astype(np.float32) * 200)
-        slab_d = clamp_cast_guarded_pallas(u, interpret=True)
-        slab_q = clamp_cast_guarded_quarters_pallas(to_quarters(u), interpret=True)
-        cw = 512
-        assert np.array_equal(
-            np.asarray(slab_d)[:, 128:128 + 2 * hq, cw:cw + 2 * wq2],
-            np.asarray(slab_q)[:, 256:256 + 2 * hq, cw:cw + 2 * wq2])
-        hd, wd = 1200, 1800
-        dstp = jnp.asarray(rng.integers(0, 256, (3, hd, wd)).astype(np.uint8))
-        h2, w2 = 2 * hq - 5, 2 * wq2 - 7   # ragged interior in the padding
-        a = paste_interior_pallas(dstp, slab_d, jnp.int32(301), jnp.int32(417),
-                                  h2, w2, interpret=True)
-        b = paste_interior_pallas(dstp, slab_q, jnp.int32(301), jnp.int32(417),
-                                  h2, w2, interpret=True, ring_r=256)
+        with mock.patch.object(PK, "_PASTE_CW", cw):
+            slab_d = PK.clamp_cast_guarded_pallas(u, interpret=True)
+            slab_q = PK.clamp_cast_guarded_quarters_pallas(
+                to_quarters(u), interpret=True)
+            assert np.array_equal(
+                np.asarray(slab_d)[:, 128:128 + 2 * hq, cw:cw + 2 * wq2],
+                np.asarray(slab_q)[:, 256:256 + 2 * hq, cw:cw + 2 * wq2])
+            hd, wd = 1200, 1800
+            dstp = jnp.asarray(rng.integers(0, 256, (3, hd, wd)).astype(np.uint8))
+            h2, w2 = 2 * hq - 5, 2 * wq2 - 7  # ragged interior in the padding
+            a = PK.paste_interior_pallas(dstp, slab_d, jnp.int32(301),
+                                         jnp.int32(417), h2, w2, interpret=True)
+            b = PK.paste_interior_pallas(dstp, slab_q, jnp.int32(301),
+                                         jnp.int32(417), h2, w2, interpret=True,
+                                         ring_r=256)
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
     def test_solver_quarters_output_matches_padded(self):
