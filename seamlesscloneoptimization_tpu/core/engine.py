@@ -453,7 +453,10 @@ class SeamlessClone:
         import jax.numpy as jnp
 
         to_planar = jax.jit(lambda d: jnp.transpose(d, (2, 0, 1)))
-        ensure_fmt = lambda x: x  # noqa: E731
+
+        def ensure_fmt(x):  # identity off-TPU; layout re-pin on TPU below
+            return x
+
         if self.device.platform == "tpu":
             # the serve program pins its chained dst to the default
             # {2,1,0} layout (see _compiled); the entry conversion must

@@ -1325,6 +1325,14 @@ def preprocess_rhs_transposed_pallas(
     )(dp, pp, mep)
 
 
+def _shifted_interior(lap, rsh, th, wp_out):
+    """Shared natural-orientation emission: out[r, j] = lap[y=r+1, x=j+1]
+    — sublane shift via the strip slice, lane shift via the cyclic roll
+    (wrapped lanes carry the exact zeros the validity mask wrote)."""
+    m = _M
+    return rsh(lap[m + 1 : m + 1 + th, :])[:, :wp_out]
+
+
 def _pre_strip_kernel_p(dest_ref, patch_ref, me_ref, out_ref, *, flags,
                         mixed_rule, th, h, w, wp_out, wpk):
     """Per-(channel, strip) preprocess emitting the PADDED NATURAL RHS.
@@ -1342,12 +1350,7 @@ def _pre_strip_kernel_p(dest_ref, patch_ref, me_ref, out_ref, *, flags,
     """
     lap, rsh = _fused_lap_tile(dest_ref, patch_ref, me_ref, flags=flags,
                                mixed_rule=mixed_rule, th=th, h=h, w=w, wpk=wpk)
-    # out[r, j] = lap[y = r+1, x = j+1]: sublane shift via the strip slice,
-    # lane shift via the same cyclic roll (w < wpk by construction; wrapped
-    # lanes carry the exact zeros the validity mask just wrote)
-    m = _M
-    shifted = rsh(lap[m + 1 : m + 1 + th, :])
-    out_ref[0] = shifted[:, :wp_out]
+    out_ref[0] = _shifted_interior(lap, rsh, th, wp_out)
 
 
 def preprocess_rhs_padded_pallas(
@@ -1412,9 +1415,8 @@ def _pre_strip_kernel_pq(dest_ref, patch_ref, me_ref, out_ref, *, flags,
         dense_to_quarters_tile,
     )
 
-    m = _M
-    shifted = rsh(lap[m + 1 : m + 1 + th, :])[:, :wp_out]   # (256, WP)
-    ee, eo, oe, oo = dense_to_quarters_tile(shifted)
+    ee, eo, oe, oo = dense_to_quarters_tile(
+        _shifted_interior(lap, rsh, th, wp_out))    # (th, WP) dense strip
     out_ref[0, 0] = ee
     out_ref[0, 1] = eo
     out_ref[0, 2] = oe
@@ -1671,7 +1673,7 @@ def clamp_cast_guarded_pallas(u: jnp.ndarray, interpret: bool = False) -> jnp.nd
 
 
 def _clamp_guard_q_kernel(q_ref, out_ref):
-    """One (4, 128, 128) quarter block -> a clamped u8 (256, 256) dense
+    """One (4, 128, DCW/2) quarter block -> a clamped u8 (256, DCW) dense
     block of the guarded slab (interleave + clamp + truncate-cast fused)."""
     from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
         quarters_to_dense_tile,
@@ -1691,10 +1693,11 @@ def clamp_cast_guarded_quarters_pallas(uq: jnp.ndarray,
     from_quarters_pallas full-array round-trip plus the dense re-read
     disappear from the serve tail. Output: a guarded slab for
     paste_interior_pallas with ring_r=256 (the row ring is 256 so the
-    (256, 256) dense blocks stay ring-aligned; the column ring stays
-    _PASTE_CW with 256-wide blocks at index j+2). As with the dense
-    guarded kernel, the ring and the [WP, WP5) ragged region are
-    unwritten garbage the paste's in-range select masks.
+    256-row dense blocks stay ring-aligned; the column ring stays
+    _PASTE_CW, written in DCW-wide blocks where DCW is the largest of
+    {256, 128} dividing it). As with the dense guarded kernel, the ring
+    and the [WP, WP5) ragged region are unwritten garbage the paste's
+    in-range select masks.
     """
     c, four, hq, wq2 = uq.shape
     assert four == 4 and hq % 128 == 0 and wq2 % 128 == 0, uq.shape

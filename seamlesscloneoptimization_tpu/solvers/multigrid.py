@@ -753,11 +753,13 @@ def _solve_multigrid_jit(
     (the caller pads). Exclusive with ``return_info``.
 
     ``true_hw=(h, w)`` declares ``g`` PRE-PADDED to the quarter geometry's
-    dense footprint (preprocess_rhs_padded_pallas: interior RHS at the
-    origin, exact zeros outside): the quarter branches consume it with no
-    pad pass, every other use sees the sliced true-size RHS. Requires
-    ``padded="q"``; branches that cannot run fused (small grids, non-TPU)
-    degrade to the sliced view.
+    footprint: either the dense (C, 2HQ, 2WQ) slab
+    (preprocess_rhs_padded_pallas — interior RHS at the origin, exact
+    zeros outside) or the born-quartered (C, 4, HQ, WQ) form
+    (preprocess_rhs_quarters_pallas). The quarter branches consume either
+    with no conversion/pad passes; every other use sees the true-size
+    dense view. Requires ``padded="q"``; branches that cannot run fused
+    (small grids, non-TPU) degrade to that view.
     """
     if padded_output and return_info:
         raise ValueError("padded_output is exclusive with return_info")
@@ -791,6 +793,21 @@ def _solve_multigrid_jit(
                     f"pre-padded g {g.shape} does not match the quarter-geometry "
                     f"footprint {(2 * hq_c, 2 * wq2_c)} for true_hw={true_hw}")
             g_prepad, g = g, g[:, : true_hw[0], : true_hw[1]]
+
+    def _quartered_g(c, hq, wq2, interpret):
+        """The (C, 4, HQ, WQ) RHS for the fused quarter branches: born
+        quartered > pre-padded > pad-and-split (shared by the cycles and
+        tolerance dispatches below)."""
+        if g_prequarters is not None:
+            return g_prequarters  # born quartered: zero conversion passes
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            to_quarters_pallas)
+
+        return to_quarters_pallas(
+            g_prepad if g_prepad is not None
+            else _pad_to(g, (c, 2 * hq, 2 * wq2)),
+            interpret=interpret)
+
     if u0 is not None:
         u = u0
     elif fmg_start:
@@ -819,13 +836,7 @@ def _solve_multigrid_jit(
             _, hq, wq2, _ = qgeom
             # Pallas conversions: XLA's generic lowering of the 5D parity
             # reshapes measured 81 of 93 ms/solve at 8K (xprof 2026-08-20)
-            if g_prequarters is not None:
-                g_q = g_prequarters  # born quartered: zero conversion passes
-            else:
-                g_q = to_quarters_pallas(
-                    g_prepad if g_prepad is not None
-                    else _pad_to(g, (c, 2 * hq, 2 * wq2)),
-                    interpret=interpret)
+            g_q = _quartered_g(c, hq, wq2, interpret)
             from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import _MQ
 
             if cycles >= 1 and nu1 + nu2 + 2 <= _MQ:
@@ -956,13 +967,7 @@ def _solve_multigrid_jit(
 
         qgeom = mg_geometry_q(h, w)
         _, hq, wq2, _ = qgeom
-        if g_prequarters is not None:
-            g_q = g_prequarters  # born quartered: zero conversion passes
-        else:
-            g_q = to_quarters_pallas(
-                g_prepad if g_prepad is not None
-                else _pad_to(g, (c, 2 * hq, 2 * wq2)),
-                interpret=interpret)
+        g_q = _quartered_g(c, hq, wq2, interpret)
 
         # The check is FUSED into the ascent kernel (mg_up_q_pallas
         # with_residual): red-cell residual max computed in-VMEM during the
