@@ -1369,6 +1369,12 @@ def preprocess_rhs_padded_pallas(
     exact zeros in the padding, Dirichlet edges already applied — ready for
     ``solve_multigrid(padded="q", true_hw=(H-2, W-2))`` with no slice/pad
     copies at either end (the mg twin of preprocess_rhs_transposed_pallas).
+
+    The serve pipeline ships the further-fused
+    ``preprocess_rhs_quarters_pallas``; this dense variant is the
+    validation bridge (the quarters kernel is pinned bit-equal to it,
+    which is pinned to the generic kernel and the NumPy oracle) and the
+    dense ``true_hw`` entry for callers that want the padded slab itself.
     """
     c, h, w = dest_roi.shape
     hp_out, wp_out = out_hw
