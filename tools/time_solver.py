@@ -47,7 +47,8 @@ def main():
 
     def _mg_up(g):
         from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_up_pallas
-        return mg_up_pallas(jnp.zeros_like(g), g, g * 0.5, 2, **th_kw)
+        hc = (g.shape[1] - 1) // 2  # e_lane: (C, (H-1)//2, W)
+        return mg_up_pallas(jnp.zeros_like(g), g, g[:, :hc, :] * 0.5, 2, **th_kw)
 
     def _mg_dyn(g):
         # runtime-domain multigrid at a true size ~0.8x the padded shape
