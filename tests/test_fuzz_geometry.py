@@ -1,0 +1,69 @@
+"""Seeded randomized-geometry parity sweep vs cv2.seamlessClone.
+
+The fixture-based tests pin known shapes; this sweep walks randomized mask
+geometries (rects/ellipses at random offsets, odd/even bbox parities,
+frame-touching placements) through BOTH production solvers and asserts the
+reference acceptance bar (diff_max <= 1 vs cv2, compare/vs.py discipline)
+at every one. Deterministic seeds — a failure reproduces exactly.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+
+def _golden_and_ours(airplane, sky, mask, center, solver, **cfg_kw):
+    from seamlesscloneoptimization_tpu.core.config import CloneConfig
+    from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+
+    golden = cv2.seamlessClone(airplane, sky, mask.copy(), center,
+                               cv2.NORMAL_CLONE)
+    eng = SeamlessClone(CloneConfig(solver=solver, **cfg_kw))
+    out = np.asarray(eng.run(airplane, sky, mask.copy(), center))
+    return golden, out
+
+
+def _rand_mask(rng, shape, kind):
+    h, w = shape
+    mask = np.zeros((h, w), np.uint8)
+    if kind == "rect":
+        # random odd/even extents, possibly frame-touching
+        y0 = int(rng.integers(0, h // 2))
+        x0 = int(rng.integers(0, w // 2))
+        bh = int(rng.integers(40, h - y0 - 1))
+        bw = int(rng.integers(40, w - x0 - 1))
+        mask[y0 : y0 + bh, x0 : x0 + bw] = 255
+    else:  # ellipse
+        cy = int(rng.integers(h // 4, 3 * h // 4))
+        cx = int(rng.integers(w // 4, 3 * w // 4))
+        ay = int(rng.integers(25, h // 3))
+        ax = int(rng.integers(25, w // 3))
+        cv2.ellipse(mask, (cx, cy), (ax, ay), float(rng.uniform(0, 180)),
+                    0, 360, 255, -1)
+    return mask
+
+
+@pytest.mark.parametrize("solver", ["dst_gemm", "multigrid"])
+@pytest.mark.parametrize("seed", [3, 8, 17, 22, 29, 36, 41, 54])
+def test_random_geometry_bit_close(airplane, sky, solver, seed):
+    rng = np.random.default_rng(seed)
+    kind = "rect" if seed % 2 else "ellipse"
+    mask = _rand_mask(rng, airplane.shape[:2], kind)
+    bb = cv2.boundingRect(mask)
+    if bb[2] < 3 or bb[3] < 3:
+        pytest.skip("degenerate mask draw")
+    # center keeping the ROI inside the destination (cv2's own requirement)
+    hd, wd = sky.shape[:2]
+    left = int(rng.integers(1, wd - bb[2] - 2))
+    top = int(rng.integers(1, hd - bb[3] - 2))
+    center = (left + bb[2] // 2 + bb[2] % 2, top + bb[3] // 2 + bb[3] % 2)
+    kw = {"tol": 2e-5} if solver == "multigrid" else {}
+    try:
+        golden, out = _golden_and_ours(airplane, sky, mask, center, solver,
+                                       **kw)
+    except cv2.error:
+        pytest.skip("cv2 rejected the placement (outside its ROI rules)")
+    d = np.abs(golden.astype(np.int16) - out.astype(np.int16))
+    assert d.max() <= 1, (
+        f"seed {seed} {kind} bbox {bb} center {center} solver {solver}: "
+        f"diff_max {d.max()} sum {d.sum()}")
