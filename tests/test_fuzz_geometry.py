@@ -67,3 +67,27 @@ def test_random_geometry_bit_close(airplane, sky, solver, seed):
     assert d.max() <= 1, (
         f"seed {seed} {kind} bbox {bb} center {center} solver {solver}: "
         f"diff_max {d.max()} sum {d.sum()}")
+
+
+@pytest.mark.parametrize("flags", [2, 3])
+@pytest.mark.parametrize("seed", [5, 19])
+def test_random_geometry_other_modes(airplane, sky, flags, seed):
+    """MIXED_CLONE / MONOCHROME_TRANSFER through the same randomized
+    geometry (cv2 5.x goldens; the reference implements NORMAL only)."""
+    from seamlesscloneoptimization_tpu.core.config import CloneConfig
+    from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
+
+    rng = np.random.default_rng(seed)
+    mask = _rand_mask(rng, airplane.shape[:2], "ellipse")
+    bb = cv2.boundingRect(mask)
+    hd, wd = sky.shape[:2]
+    left = int(rng.integers(1, wd - bb[2] - 2))
+    top = int(rng.integers(1, hd - bb[3] - 2))
+    center = (left + bb[2] // 2 + bb[2] % 2, top + bb[3] // 2 + bb[3] % 2)
+    cv2_flag = {2: cv2.MIXED_CLONE, 3: cv2.MONOCHROME_TRANSFER}[flags]
+    golden = cv2.seamlessClone(airplane, sky, mask.copy(), center, cv2_flag)
+    out = np.asarray(SeamlessClone(CloneConfig(flags=flags)).run(
+        airplane, sky, mask.copy(), center))
+    d = np.abs(golden.astype(np.int16) - out.astype(np.int16))
+    assert d.max() <= 1, (
+        f"seed {seed} flags {flags} bbox {bb}: diff_max {d.max()}")
