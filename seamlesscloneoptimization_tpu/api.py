@@ -38,7 +38,7 @@ def seamless_clone(
     center: tuple[int, int],
     flags: int = NORMAL_CLONE,
     *,
-    solver: str = "dst_gemm",  # dst_gemm|dst_fft|jacobi|multigrid|auto
+    solver: str = "auto",  # auto|dst_gemm|dst_fft|jacobi|multigrid
     tol: float = 1e-4,
     to_numpy: bool = True,
 ):
@@ -58,7 +58,7 @@ def seamless_clone_batch(
     centers,
     flags: int = NORMAL_CLONE,
     *,
-    solver: str = "dst_gemm",
+    solver: str = "auto",
     tol: float = 1e-4,
 ):
     """Composite N (src, mask, center) jobs into one destination sequentially.

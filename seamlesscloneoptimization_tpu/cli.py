@@ -32,8 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("center_x", type=int)
     p.add_argument("center_y", type=int)
     p.add_argument("device_id", type=int, nargs="?", default=0)
-    p.add_argument("--solver", default="dst_gemm",
-                   choices=["dst_gemm", "dst_fft", "jacobi", "multigrid", "auto"])
+    p.add_argument("--solver", default="auto",
+                   choices=["auto", "dst_gemm", "dst_fft", "jacobi", "multigrid"],
+                   help="Poisson solver; auto (default) resolves per patch "
+                        "size with the measured crossovers (7 MP single-shot "
+                        "/ 13 MP serve — docs/PERF.md)")
     p.add_argument("--flags", type=int, default=1,
                    help="1=NORMAL_CLONE 2=MIXED_CLONE 3=MONOCHROME_TRANSFER")
     p.add_argument("--loops", type=int, default=1,
@@ -116,6 +119,8 @@ def main(argv=None) -> int:
     native.write_yaml_mat(outdir / "result.yml", out_np, name="result")
 
     # The reference printout format (seamlessClone_imp.cu:343-346).
+    if args.solver == "auto":
+        print(f"solver: auto -> {eng.metrics.get('solver_resolved')}")
     bh, bw = eng.metrics["bbox"][3], eng.metrics["bbox"][2]
     print(f"Compute stage performance time= {ms:.3f} msec, patch size={bw}x{bh}")
     print(f"total device memory used: {eng.device_memory_bytes()} bytes")

@@ -25,13 +25,18 @@ MONOCHROME_TRANSFER = 3
 class CloneConfig:
     """Configuration for a SeamlessClone engine instance."""
 
-    solver: str = "dst_gemm"  # dst_gemm | dst_fft | jacobi | multigrid | auto
+    solver: str = "auto"  # auto | dst_gemm | dst_fft | jacobi | multigrid
     # The measured-fast path IS the default (the reference ships its best
     # path as the default too: SC_FFT_ENABLE, seamlessClone_imp.h:15): a
     # bare CloneConfig() reproduces the bench.py headline configuration
-    # (docs/PERF.md). On a CPU backend the Pallas flags degrade safely to
-    # the XLA path (models/pipeline.py backend gate); precision/folded
-    # apply everywhere.
+    # (docs/PERF.md), INCLUDING the solver choice — "auto" resolves per
+    # compiled program with the measured crossovers (7 MP single-shot /
+    # 13 MP chained serve, solvers/__init__.py), so a <7 MP patch runs the
+    # folded-bf16_3x DST GEMMs and an 8K patch runs the quarter-plane
+    # multigrid that is both faster and better-conditioned there (direct
+    # f32 rel-residual 1.7e-2 at 10.6 MP vs multigrid's 1.5e-4 — PERF.md).
+    # On a CPU backend the Pallas flags degrade safely to the XLA path
+    # (models/pipeline.py backend gate); precision/folded apply everywhere.
     precision: str = "high"  # dst_gemm MXU passes: highest (f32) | high (bf16_3x)
     dst_folded: bool = True  # even/odd-folded DST GEMMs: half the MXU FLOPs
     # per transform (solvers/dst_gemm.py:dst_matrices_folded); applies to

@@ -52,6 +52,45 @@ def erode3x3_replicate(mask01: jnp.ndarray, iterations: int = 3) -> jnp.ndarray:
     return m
 
 
+def edit_guidance(src_f, me, params, edge_mask, *, kind):
+    """The per-kind guidance-field modification — ONE source of truth.
+
+    Shared by the single-device path (``local_edit_planar``) and the sharded
+    path (parallel/clone_tiled.py:_local_edit_sharded); the rules are pinned
+    bit-close to cv2 (diff_max <= 1), so any drift between the two paths is
+    a silent parity break — they must not re-implement each other.
+
+    src_f: (C, H, W) f32 image. me: (H, W) f32 {0,1} eroded mask.
+    Returns (gx, gy): the modified guidance field (outside-mask gradients
+    untouched, inside-mask gradients transformed per ``kind``). Every op is
+    elementwise or a static-shift stencil, so the function is tile-local
+    under any (C, 'ty', 'tx') sharding — XLA inserts only the one-pixel
+    halo exchanges of the gradients.
+    """
+    gx_d = gradient_x(src_f)
+    gy_d = gradient_y(src_f)
+    me = me[None, :, :] if me.ndim == 2 else me
+    gxm = gx_d * me
+    gym = gy_d * me
+    if kind == COLOR_CHANGE:
+        fac = params[:, None, None]
+        gxm, gym = gxm * fac, gym * fac
+    elif kind == ILLUMINATION_CHANGE:
+        alpha, beta = params[0], params[1]
+        mag = jnp.sqrt(gxm * gxm + gym * gym)
+        # alpha^beta * |g|^-beta; zero gradients stay zero (cv2's patchNaNs)
+        scale = jnp.where(mag > 0.0, (alpha**beta) * mag ** (-beta), 0.0)
+        gxm, gym = gxm * scale, gym * scale
+    elif kind == TEXTURE_FLATTENING:
+        e = edge_mask[None, :, :]
+        gxm, gym = gxm * e, gym * e
+    else:
+        raise ValueError(f"unknown edit kind={kind!r}")
+    gx = gx_d * (1.0 - me) + gxm
+    gy = gy_d * (1.0 - me) + gym
+    return gx, gy
+
+
 @partial(jax.jit, static_argnames=("kind",), donate_argnums=())
 def local_edit_planar(
     src_p: jnp.ndarray,
@@ -74,27 +113,7 @@ def local_edit_planar(
     from seamlesscloneoptimization_tpu.solvers.dst_gemm import solve_dst_gemm
 
     src_f = src_p.astype(jnp.float32)
-    gx_d = gradient_x(src_f)
-    gy_d = gradient_y(src_f)
-    me = mask_eroded[None, :, :]
-    gxm = gx_d * me
-    gym = gy_d * me
-    if kind == COLOR_CHANGE:
-        fac = params[:, None, None]
-        gxm, gym = gxm * fac, gym * fac
-    elif kind == ILLUMINATION_CHANGE:
-        alpha, beta = params[0], params[1]
-        mag = jnp.sqrt(gxm * gxm + gym * gym)
-        # alpha^beta * |g|^-beta; zero gradients stay zero (cv2's patchNaNs)
-        scale = jnp.where(mag > 0.0, (alpha**beta) * mag ** (-beta), 0.0)
-        gxm, gym = gxm * scale, gym * scale
-    elif kind == TEXTURE_FLATTENING:
-        e = edge_mask[None, :, :]
-        gxm, gym = gxm * e, gym * e
-    else:
-        raise ValueError(f"unknown edit kind={kind!r}")
-    gx = gx_d * (1.0 - me) + gxm
-    gy = gy_d * (1.0 - me) + gym
+    gx, gy = edit_guidance(src_f, mask_eroded, params, edge_mask, kind=kind)
     g = poisson_rhs(gx, gy, src_f)
     u = solve_dst_gemm(g)
     return postprocess_roi(u, src_p)

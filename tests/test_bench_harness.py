@@ -22,7 +22,7 @@ def test_bench_prints_one_json_line():
     r = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu');"
-         "import runpy, sys; sys.argv=['bench.py','dst_gemm','3'];"
+         "import runpy, sys; sys.argv=['bench.py','auto','3'];"
          "runpy.run_path('bench.py', run_name='__main__')"],
         cwd=REPO, capture_output=True, text=True, timeout=420, env=env,
     )
@@ -34,3 +34,7 @@ def test_bench_prints_one_json_line():
         assert k in data
     assert data["value"] > 0
     assert data["extras"]["accuracy_300x194_diff_max"] <= 1
+    # the shipped default is "auto"; at the tiny smoke size it must resolve
+    # to the direct solver, and the layout-heal regression bit must exist
+    assert data["extras"]["solver_resolved"] == "dst_gemm"
+    assert data["extras"]["serve_layout_heal_fired"] is False
