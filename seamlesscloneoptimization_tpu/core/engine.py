@@ -192,19 +192,53 @@ class SeamlessClone:
 
     # -- compilation cache ---------------------------------------------------
 
-    @staticmethod
-    def _planar_pin(device):
+    # -- engine hooks (the mesh-aware TiledSeamlessClone overrides these) ----
+
+    def _planar_sharding(self):
+        """Sharding of the chained planar (C, H, W) destination."""
+        return jax.sharding.SingleDeviceSharding(self.device)
+
+    def _put(self, x, kind: str):
+        """Place one host input; ``kind`` is "img" ((H, W, C) image),
+        "plane" ((H, W) mask) or "repl" (small coordinate vectors) — the
+        tiled engine shards/replicates each over its mesh accordingly."""
+        return jax.device_put(x, self.device)
+
+    def _solver_for(self, eff: str):
+        """(solver_callable, solver_kwargs) for one compiled program."""
+        import dataclasses
+
+        cfg_eff = (self.config if eff == self.config.solver
+                   else dataclasses.replace(self.config, solver=eff))
+        kwargs = dict(cfg_eff.solver_kwargs())
+        if self._bucket_exact():
+            # clone_roi_dyn's runtime-domain multigrid controls
+            kwargs.update(tol=self.config.tol, cycles=self.config.mg_cycles)
+        return SOLVERS[eff], kwargs
+
+    def _pallas_gates(self, eff: str):
+        """(use_pallas_pre, use_pallas_post, solver_name) for the pipeline.
+        Pallas serve tail per solver: dst_gemm's transposed/padded GEMM
+        chain, or multigrid's guarded clamp+cast on the padded solve
+        (VERDICT r3 missing #3). The tiled engine turns these off on real
+        meshes (Mosaic kernels are not GSPMD-partitionable)."""
+        return (self.config.use_pallas_preprocess,
+                self.config.use_pallas_postprocess
+                and eff in ("dst_gemm", "multigrid"),
+                eff)
+
+    def _planar_pin(self):
         """(Layout, Format, with_layout_constraint) pinning planar u8
-        images to the default {2,1,0} layout on ``device``. One recipe
-        shared by the serve program's dst input/output (_compiled) and the
-        loop-entry transpose (timed_serve) — the two MUST agree or the
-        serve program hard-fails on a layout mismatch at its first call.
+        images to the default {2,1,0} layout. One recipe shared by the
+        serve program's dst input/output (_compiled) and the loop-entry
+        transpose (timed_serve) — the two MUST agree or the serve program
+        hard-fails on a layout mismatch at its first call.
         """
         from jax.experimental.layout import (
             Format, Layout, with_layout_constraint)
 
         lay = Layout(major_to_minor=(0, 1, 2))
-        fmt = Format(lay, jax.sharding.SingleDeviceSharding(device))
+        fmt = Format(lay, self._planar_sharding())
         return lay, fmt, with_layout_constraint
 
     def _compiled(self, src_shape, dst_shape, bbox_hw, flags, planar_dst=False):
@@ -220,30 +254,19 @@ class SeamlessClone:
                self.config.cache_key_extras())
         fn = self._cache.get(key)
         if fn is None:
-            import dataclasses
-
-            solver = SOLVERS[eff]
-            cfg_eff = (self.config if eff == self.config.solver
-                       else dataclasses.replace(self.config, solver=eff))
-            kwargs = dict(cfg_eff.solver_kwargs())
-            if self._bucket_exact():
-                # clone_roi_dyn's runtime-domain multigrid controls
-                kwargs.update(tol=self.config.tol, cycles=self.config.mg_cycles)
-            # Pallas serve tail per solver: dst_gemm's transposed/padded GEMM
-            # chain, or multigrid's guarded clamp+cast on the padded solve
-            # (VERDICT r3 missing #3)
+            solver, kwargs = self._solver_for(eff)
+            pre, post, sname = self._pallas_gates(eff)
             base = partial(
                 clone_pipeline,
                 bbox_hw=bbox_hw,
                 flags=flags,
                 solver=solver,
                 solver_kwargs=kwargs,
-                use_pallas_pre=self.config.use_pallas_preprocess,
-                use_pallas_post=(self.config.use_pallas_postprocess
-                                 and eff in ("dst_gemm", "multigrid")),
+                use_pallas_pre=pre,
+                use_pallas_post=post,
                 mixed_rule=self.config.mixed_rule,
                 planar_dst=planar_dst,
-                solver_name=eff,
+                solver_name=sname,
             )
             donate = (1,) if self.config.donate_dst else ()
             if planar_dst and self.device.platform == "tpu":
@@ -261,7 +284,7 @@ class SeamlessClone:
                 # transpose returned the {1,2,0} cached result, then the
                 # serve program hard-failed on the layout mismatch); the
                 # in-body constraint changes the HLO and therefore the key.
-                lay, fmt, with_layout_constraint = self._planar_pin(self.device)
+                lay, fmt, with_layout_constraint = self._planar_pin()
                 n_args = 6 if self._bucket_exact() else 5  # + true_bbox
 
                 def pinned_pipeline(src, dst, mask, bxy, lt, *extra):
@@ -275,6 +298,15 @@ class SeamlessClone:
                     in_shardings=(None, fmt) + (None,) * (n_args - 2),
                     out_shardings=fmt,
                 )
+            elif planar_dst:
+                # off-TPU (no layout pin needed) the chained planar dst still
+                # carries an explicit sharding so the serve chain is stable
+                # on a mesh (out sharding == in sharding, no reshard drift)
+                psh = self._planar_sharding()
+                n_args = 6 if self._bucket_exact() else 5
+                fn = jax.jit(base, donate_argnums=donate,
+                             in_shardings=(None, psh) + (None,) * (n_args - 2),
+                             out_shardings=psh)
             else:
                 fn = jax.jit(base, donate_argnums=donate)
             self._cache[key] = fn
@@ -332,20 +364,20 @@ class SeamlessClone:
             mask = np.full(src.shape[:2], 255, np.uint8)
         prep = self._prepare(mask, src.shape, dst.shape, center)
         if prep is None:
-            self._last_out = self._track(jax.device_put(dst, self.device))
+            self._last_out = self._track(self._put(dst, "img"))
             return self._last_out
         m, (x0, y0), (left, top), (bh, bw), tight = self._unpack_prep(prep)
         fn = self._compiled(tuple(src.shape), tuple(dst.shape), (bh, bw), flags)
 
-        def put(x):
+        def put(x, kind="img"):
             if isinstance(x, jax.Array):
                 return x
-            return self._track(jax.device_put(x, self.device))
+            return self._track(self._put(x, kind))
 
         args = [
             put(src),
             put(dst),
-            self._track(jax.device_put(m, self.device)),
+            self._track(self._put(m, "plane")),
             np.array([x0, y0], np.int32),
             np.array([left, top], np.int32),
         ]
@@ -458,7 +490,11 @@ class SeamlessClone:
 
         to_planar = jax.jit(lambda d: jnp.transpose(d, (2, 0, 1)))
 
-        def ensure_fmt(x):  # identity off-TPU; layout re-pin on TPU below
+        psh = self._planar_sharding()
+
+        def ensure_fmt(x):  # sharding re-pin off-TPU; +layout re-pin on TPU
+            if getattr(x, "sharding", None) != psh:
+                return jax.device_put(x, psh)
             return x
 
         if self.device.platform == "tpu":
@@ -472,7 +508,7 @@ class SeamlessClone:
             # cache and the serve program hard-failed on the mismatch), so
             # compiled-output layouts are treated as advisory and
             # ensure_fmt self-heals them wherever they feed a pinned input.
-            lay, fmt, _ = self._planar_pin(self.device)
+            lay, fmt, _ = self._planar_pin()
             expect = lay.major_to_minor
 
             def ensure_fmt(x):
@@ -482,16 +518,16 @@ class SeamlessClone:
                 return x
 
         to_inter = jax.jit(lambda d: jnp.transpose(d, (1, 2, 0)))
-        src_d = self._track(jax.device_put(src, self.device))
-        out = ensure_fmt(to_planar(self._track(jax.device_put(dst, self.device))))
-        m_d = self._track(jax.device_put(m, self.device))
-        bxy = jax.device_put(np.array([x0, y0], np.int32), self.device)
-        lt = jax.device_put(np.array([left, top], np.int32), self.device)
+        src_d = self._track(self._put(src, "img"))
+        out = ensure_fmt(to_planar(self._track(self._put(dst, "img"))))
+        m_d = self._track(self._put(m, "plane"))
+        bxy = self._put(np.array([x0, y0], np.int32), "repl")
+        lt = self._put(np.array([left, top], np.int32), "repl")
 
         # bucket_exact serve: the tight-bbox runtime arg rides along so the
         # chained loop solves the TIGHT system (accuracy identical to the
         # per-shape path), not the bucketed frame
-        extra = (jax.device_put(np.array(tight, np.int32), self.device),
+        extra = (self._put(np.array(tight, np.int32), "repl"),
                  ) if tight is not None else ()
         sync = jax.jit(lambda x: jnp.max(x))  # block_until_ready can lie via tunnels
         out = fn(src_d, out, m_d, bxy, lt, *extra)  # warm-up / compile

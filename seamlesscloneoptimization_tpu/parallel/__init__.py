@@ -11,6 +11,7 @@ from seamlesscloneoptimization_tpu.parallel.batch import (
     seamless_clone_batch_fused,
 )
 from seamlesscloneoptimization_tpu.parallel.clone_tiled import (
+    TiledSeamlessClone,
     local_edit_tiled,
     seamless_clone_tiled,
 )
@@ -26,5 +27,6 @@ __all__ = [
     "clone_roi_batch",
     "seamless_clone_batch_fused",
     "seamless_clone_tiled",
+    "TiledSeamlessClone",
     "local_edit_tiled",
 ]
