@@ -236,18 +236,20 @@ def _lane_neighbors(w: int, wp: int):
 
 
 def _rb_sweep_loop(u, g, red, black, lsh, rsh, n_sweeps):
-    """n select-form red-black sweeps on one ghosted window (shared core)."""
+    """n select-form red-black sweeps on one ghosted window (shared core).
+
+    ``n_sweeps`` is static and small (<= 4): unrolled as a Python loop so
+    Mosaic schedules across the sweep boundary instead of fencing at an
+    scf.for back-edge (same arithmetic order — bit-identical)."""
 
     def nsum(x):
         vert = jnp.pad(x, ((1, 1), (0, 0)))
         return vert[:-2, :] + vert[2:, :] + lsh(x) + rsh(x)
 
-    def body(_, x):
-        x = jnp.where(red, (nsum(x) - g) * 0.25, x)
-        x = jnp.where(black, (nsum(x) - g) * 0.25, x)
-        return x
-
-    return jax.lax.fori_loop(0, n_sweeps, body, u)
+    for _ in range(n_sweeps):
+        u = jnp.where(red, (nsum(u) - g) * 0.25, u)
+        u = jnp.where(black, (nsum(u) - g) * 0.25, u)
+    return u
 
 
 def _rb_body(u, g, i, *, n_sweeps, th, h, w, wp):

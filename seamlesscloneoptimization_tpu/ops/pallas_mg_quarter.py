@@ -236,14 +236,16 @@ def _sweep_q(planes, gq, doms, lsh, rsh, n_sweeps):
     """n red-black Gauss-Seidel sweeps on quarter planes.
 
     Exact dense-update arithmetic per cell, association mirroring the
-    dense kernels' ((up + dn) + l) + r neighbor-sum order.
+    dense kernels' ((up + dn) + l) + r neighbor-sum order. ``n_sweeps`` is
+    trace-time static and <= 4, so the loop UNROLLS (Python loop, not
+    lax.fori_loop): Mosaic then schedules shifts/FMAs across the sweep
+    boundary instead of fencing at an scf.for back-edge.
     """
     ee, eo, oe, oo = planes
     gee, geo, goe, goo = gq
     dee, deo, doe, doo = doms
 
-    def body(_, st):
-        ee, eo, oe, oo = st
+    for _ in range(n_sweeps):
         # red: EE (up/dn = OE[i-1]/OE[i], l/r = EO[j-1]/EO[j])
         ns = ((_sub_sh(oe, True) + oe) + lsh(eo)) + eo
         ee = jnp.where(dee, (ns - gee) * 0.25, ee)
@@ -256,9 +258,7 @@ def _sweep_q(planes, gq, doms, lsh, rsh, n_sweeps):
         # black: OE (up/dn = EE[i]/EE[i+1], l/r = OO[j-1]/OO[j])
         ns = ((ee + _sub_sh(ee, False)) + lsh(oo)) + oo
         oe = jnp.where(doe, (ns - goe) * 0.25, oe)
-        return ee, eo, oe, oo
-
-    return jax.lax.fori_loop(0, n_sweeps, body, (ee, eo, oe, oo))
+    return ee, eo, oe, oo
 
 
 def _down_q_body(planes, gq, i, *, nu1, th, h, w, wq2, hc, h_even, bw,

@@ -307,7 +307,11 @@ def _tol_burst(tol: float, max_cycles: int, nu1: int = 1, nu2: int = 2) -> int:
     lands.
     """
     import math
+    import os
 
+    env = os.environ.get("SCL_MG_BURST")  # absolute override (A/B probe)
+    if env is not None:
+        return min(int(env), max_cycles)
     if not (0.0 < tol < 0.15):
         return 0
     pred = math.ceil(math.log(tol) / math.log(0.15))
