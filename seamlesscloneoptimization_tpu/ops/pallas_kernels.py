@@ -1733,22 +1733,48 @@ def clamp_cast_guarded_quarters_pallas(uq: jnp.ndarray,
     return out
 
 
-def _paste_kernel(s_ref, int_ref, dstin_ref, out_ref, *, th, cw, h2, w2, hd, wd):
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+def _paste_win_start(s_ref, i, j, *, th, cw, hd, wd, ring_r, slab_h, slab_w):
+    """Element start (row, lane) of the NARROW slab window for dst block
+    (i, j), plus the data offsets inside it.
+
+    The dst block's data occupies exactly th contiguous slab rows starting
+    at ``br*th - top1 + ring_r`` — an arbitrary row offset, which Element
+    block specs can only express at 8-sublane / 128-lane granularity. So
+    the window is (th+16, cw+256): start aligned DOWN (and clamped into
+    the slab), data at offset (row_off < 16, lane_off < 256) recovered by
+    the kernel's dynamic rolls. Blocks clamped at the slab edge can carry
+    larger nominal offsets, but such blocks contain no in-range pixels
+    (they exist only to cover misalignment) and the in-range select masks
+    everything they produce. Shared by the index map and the kernel — the
+    two MUST agree.
+    """
     top1 = s_ref[0]
     left1 = s_ref[1]
     br = jnp.minimum(top1 // th + i, (hd + th - 1) // th - 1)
     bc = jnp.minimum(left1 // cw + j, (wd + cw - 1) // cw - 1)
+    r_exact = br * th - top1 + ring_r
+    l_exact = bc * cw - left1 + cw
+    r_start = jnp.clip((r_exact // 8) * 8, 0, slab_h - (th + 16))
+    l_start = jnp.clip((l_exact // 128) * 128, 0, slab_w - (cw + 256))
+    return br, bc, r_start, l_start, r_exact - r_start, l_exact - l_start
+
+
+def _paste_kernel(s_ref, int_ref, dstin_ref, out_ref, *, th, cw, h2, w2,
+                  hd, wd, ring_r, slab_h, slab_w):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    top1 = s_ref[0]
+    left1 = s_ref[1]
+    br, bc, _, _, r_off, l_off = _paste_win_start(
+        s_ref, i, j, th=th, cw=cw, hd=hd, wd=wd, ring_r=ring_r,
+        slab_h=slab_h, slab_w=slab_w)
     r0 = br * th
     c0 = bc * cw
-    dy = top1 % th
-    dx = left1 % cw
     # Mosaic's dynamic rotate is 32-bit only: hop the u8 window through i32
-    w_ = int_ref[0].astype(jnp.int32)                 # (2*th, 2*cw)
-    # out row k <- window row k+th-dy: roll by (dy-th) mod 2th = dy+th (>=0)
-    rows_sft = pltpu.roll(w_, dy + th, axis=0)[:th]
-    blk = pltpu.roll(rows_sft, dx + cw, axis=1)[:, :cw].astype(jnp.uint8)
+    w_ = int_ref[0].astype(jnp.int32)                 # (th+16, cw+256)
+    # out row k <- window row k+r_off: roll(x, s)[k] = x[(k-s) mod N]
+    rows_sft = pltpu.roll(w_, (th + 16) - r_off, axis=0)[:th]
+    blk = pltpu.roll(rows_sft, (cw + 256) - l_off, axis=1)[:, :cw].astype(jnp.uint8)
     rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (th, cw), 0)
     cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (th, cw), 1)
     in_r = ((rows >= top1) & (rows < top1 + h2)
@@ -1772,13 +1798,15 @@ def paste_interior_pallas(
     this target (measured: 0.40-0.47 ms for an 11 MB u8 paste even when
     tile-aligned and donated) — it re-materializes far more than the
     touched tiles. This kernel updates ONLY the covering tiles: for each
-    128 x _PASTE_CW destination block it reads the (2x128, 2x_PASTE_CW)
-    guarded-interior window that can contain its data, shifts it into place
-    with dynamic lane/sublane rotates (the paste offset is a traced scalar,
-    prefetched into SMEM), selects in-range pixels and writes the block
-    back through an input/output alias. Ref: the scatter half of
-    ``post_processing`` (seamlessClone_imp.cpp:2095, writing the ROI into
-    ucRGB_Output).
+    128 x _PASTE_CW destination block it reads the NARROW
+    (128+16, _PASTE_CW+256) guarded-interior window holding exactly its
+    data (Element-granular start aligned down to the 8-sublane/128-lane
+    DMA grid — round 5; the original (2x128, 2x_PASTE_CW) windows re-read
+    the slab ~4x, this reads ~1.4x), shifts it into place with dynamic
+    lane/sublane rotates (the paste offset is a traced scalar, prefetched
+    into SMEM), selects in-range pixels and writes the block back through
+    an input/output alias. Ref: the scatter half of ``post_processing``
+    (seamlessClone_imp.cpp:2095, writing the ROI into ucRGB_Output).
 
     dst_p: (C, Hd, Wd) u8 planar destination (donated/aliased).
     interior_g: guarded slab from clamp_cast_guarded_pallas (ring_r=128)
@@ -1790,11 +1818,15 @@ def paste_interior_pallas(
     c, hd, wd = dst_p.shape
     th, cw = 128, _PASTE_CW
     assert ring_r >= 128 and ring_r % 8 == 0, ring_r
-    hp = interior_g.shape[1] - 2 * ring_r
-    wp5 = interior_g.shape[2] - 2 * cw
+    slab_h = interior_g.shape[1]
+    slab_w = interior_g.shape[2]
+    hp = slab_h - 2 * ring_r
+    wp5 = slab_w - 2 * cw
     nbr = hp // th + 1
     nbc = wp5 // cw + 1
     s = jnp.stack([jnp.asarray(top1, jnp.int32), jnp.asarray(left1, jnp.int32)])
+    kw = dict(th=th, cw=cw, hd=hd, wd=wd, ring_r=ring_r,
+              slab_h=slab_h, slab_w=slab_w)
 
     def dst_map(ci, i, j, s_ref):
         br = jnp.minimum(s_ref[0] // th + i, (hd + th - 1) // th - 1)
@@ -1802,23 +1834,17 @@ def paste_interior_pallas(
         return (ci, br, bc)
 
     def win_map(ci, i, j, s_ref):
-        br = jnp.minimum(s_ref[0] // th + i, (hd + th - 1) // th - 1)
-        bc = jnp.minimum(s_ref[1] // cw + j, (wd + cw - 1) // cw - 1)
-        rel_r = br - s_ref[0] // th
-        rel_c = bc - s_ref[1] // cw
-        # data sits at row offset ring_r; the kernel's roll math assumes
-        # the window starts th rows above the block's data rows
-        return (ci, pl.multiple_of(rel_r * th + (ring_r - th), 8),
-                pl.multiple_of(rel_c * cw, 128))
+        _, _, r_start, l_start, _, _ = _paste_win_start(s_ref, i, j, **kw)
+        return (ci, pl.multiple_of(r_start, 8), pl.multiple_of(l_start, 128))
 
     return pl.pallas_call(
-        partial(_paste_kernel, th=th, cw=cw, h2=h2, w2=w2, hd=hd, wd=wd),
+        partial(_paste_kernel, h2=h2, w2=w2, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(c, nbr, nbc),
             in_specs=[
-                pl.BlockSpec((pl.Element(1), pl.Element(2 * th), pl.Element(2 * cw)),
-                             win_map),
+                pl.BlockSpec((pl.Element(1), pl.Element(th + 16),
+                              pl.Element(cw + 256)), win_map),
                 pl.BlockSpec((1, th, cw), dst_map),
             ],
             out_specs=pl.BlockSpec((1, th, cw), dst_map),

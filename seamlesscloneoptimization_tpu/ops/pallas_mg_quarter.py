@@ -262,14 +262,19 @@ def _sweep_q(planes, gq, doms, lsh, rsh, n_sweeps):
 
 
 def _down_q_body(planes, gq, i, *, nu1, th, h, w, wq2, hc, h_even, bw,
-                 u_is_zero=False):
+                 u_is_zero=False, with_residual=False):
     """nu1 sweeps + red residual + row-restrict on ghosted quarter windows.
 
-    Returns (4 swept (th, wq2) strips, rh_e strip, rh_o strip) where
+    Returns (4 swept (th, wq2) strips, rh_e strip, rh_o strip[, r2]) where
     rh_e/rh_o are the EVEN/ODD-lane planes of the dense row-restricted
     residual (coarse rows jc = i*th .. — one quarter-strip of fine rows
     yields th coarse rows since coarse row jc reads fine rows 2jc..2jc+2
-    = quarter rows jc, jc+1).
+    = quarter rows jc, jc+1). ``with_residual`` additionally returns the
+    per-lane max |residual| of the OWNED rows — the residual of the strip
+    this body writes out, at zero extra DMA (the same ree/roo the
+    restriction consumes; red cells only, black is exactly zero after the
+    final black half-sweep). Validity matches the restriction's reads
+    (staleness nu1+1 quarter rows <= _MQ).
     """
     doms = _doms_q(i, th, h, w, wq2)
     lsh, rsh = _lane_sh_q((w + 1) // 2, wq2)
@@ -321,6 +326,11 @@ def _down_q_body(planes, gq, i, *, nu1, th, h, w, wq2, hc, h_even, bw,
         rh_e = w_e * ree[jc_loc, :] + w_e * ree_dn
         rh_o = w_o0 * roo[jc_loc, :]
     strips = [p[m : m + th, :] for p in planes]
+    if with_residual:
+        own = slice(m, m + th)
+        r2 = jnp.maximum(jnp.max(jnp.abs(ree[own, :]), axis=0),
+                         jnp.max(jnp.abs(roo[own, :]), axis=0))
+        return strips, rh_e, rh_o, r2
     return strips, rh_e, rh_o
 
 
@@ -699,8 +709,9 @@ def mg_up_q_pallas(uq, gq, e_even, e_odd, nu2, true_hw, geom,
 
 
 def _ud_q_kernel(uc, ut, ub, gc, gt, gb, eec, eet, eeb, eoc, eot, eob,
-                 uo_ref, rhe_ref, rho_ref=None, *, nu2, nu1, th, hq_true,
-                 h, w, wq2, hc, h_even, bw, rct_rows=None):
+                 uo_ref, rhe_ref, *rest, nu2, nu1, th, hq_true,
+                 h, w, wq2, hc, h_even, bw, rct_rows=None,
+                 with_residual=False):
     """Fused ASCENT (cycle k) + DESCENT (cycle k+1) on one ghosted window.
 
     The post-up state never round-trips HBM between cycles: the up body
@@ -731,24 +742,32 @@ def _ud_q_kernel(uc, ut, ub, gc, gt, gb, eec, eet, eeb, eoc, eot, eob,
     eo_c = asm1(eoc, eot, eob)
     windows, _ = _up_q_body(planes, gq, ee_c, eo_c, i, nu2=nu2, th=th, h=h,
                             w=w, wq2=wq2, h_even=h_even, return_windows=True)
-    strips, rh_e, rh_o = _down_q_body(windows, gq, i, nu1=nu1, th=th, h=h,
-                                      w=w, wq2=wq2, hc=hc, h_even=h_even,
-                                      bw=bw)
+    down = _down_q_body(windows, gq, i, nu1=nu1, th=th, h=h,
+                        w=w, wq2=wq2, hc=hc, h_even=h_even,
+                        bw=bw, with_residual=with_residual)
+    strips, rh_e, rh_o = down[:3]
     for q in range(4):
         uo_ref[0, q] = strips[q]
     if rct_rows is not None:  # fused restrict: rhe_ref IS the rc_t output
         rhe_ref[0] = _rct_strip(rh_e, rh_o, i, th=th, w=w, hc=hc, bw=bw,
                                 chp=rct_rows)
     else:
+        rest[0][0] = rh_o  # rho_ref
         rhe_ref[0] = rh_e
-        rho_ref[0] = rh_o
+    if with_residual:
+        # (1, 8, wq2) block per strip, all rows the same lane-max (see
+        # _up_q_kernel's rmax block comment)
+        r2 = down[3]
+        rest[-1][0] = jnp.broadcast_to(r2[None, :], (8, r2.shape[0]))
 
 
 @partial(jax.jit, static_argnames=("nu2", "nu1", "true_hw", "geom", "h_even",
-                                   "bw", "interpret", "rct_rows"))
+                                   "bw", "interpret", "rct_rows",
+                                   "with_residual"))
 def mg_ud_q_pallas(uq, gq, e_even, e_odd, nu2, nu1, true_hw, geom,
                    bw: float = 1.0, interpret: bool = False,
-                   h_even: bool | None = None, rct_rows: int | None = None):
+                   h_even: bool | None = None, rct_rows: int | None = None,
+                   with_residual: bool = False):
     """Fused cycle-boundary launch: prolong+correct+nu2 sweeps of cycle k,
     then nu1 sweeps + red residual + row-restriction of cycle k+1.
 
@@ -758,6 +777,13 @@ def mg_ud_q_pallas(uq, gq, e_even, e_odd, nu2, nu1, true_hw, geom,
     mg_down_q_pallas). Used by the fixed-cycles and burst (check-free)
     portions of solve_multigrid's quarter path, where no tolerance
     decision sits between the two halves.
+
+    ``with_residual`` appends the scalar max |residual| of the OUTPUT
+    state (the down-half's own ree/roo, free — the same arrays the
+    restriction consumes), making a CHECKED tolerance cycle cost the same
+    fine-level DMA as a check-free one: the tol loop's former
+    down+up-per-checked-cycle (two fine passes) collapses to one fused
+    launch (solve_multigrid's fused tol loop, round 5).
     """
     h, w = true_hw
     th, hq, wq2, hp2 = geom
@@ -798,9 +824,16 @@ def mg_ud_q_pallas(uq, gq, e_even, e_odd, nu2, nu1, true_hw, geom,
             jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
             jax.ShapeDtypeStruct((c, hp2, wq2), jnp.float32),
         ]
-    return pl.pallas_call(
+    nstrips = hq // th
+    if with_residual:
+        out_specs = list(out_specs) + [
+            pl.BlockSpec((1, 8, wq2), lambda ci, i: (ci, i, 0))]
+        out_shape = list(out_shape) + [
+            jax.ShapeDtypeStruct((c, 8 * nstrips, wq2), jnp.float32)]
+    out = pl.pallas_call(
         partial(_ud_q_kernel, nu2=nu2, nu1=nu1, th=th, hq_true=hq_true, h=h,
-                w=w, wq2=wq2, hc=hc, h_even=h_even, bw=bw, rct_rows=rct_rows),
+                w=w, wq2=wq2, hc=hc, h_even=h_even, bw=bw, rct_rows=rct_rows,
+                with_residual=with_residual),
         grid=(c, hq // th),
         in_specs=[ctr, top, bot] * 2 + [e_ctr, e_top, e_bot] * 2,
         out_specs=out_specs,
@@ -808,3 +841,6 @@ def mg_ud_q_pallas(uq, gq, e_even, e_odd, nu2, nu1, true_hw, geom,
         compiler_params=_vmem_params(2 * th, 2 * wq2, interpret),
         interpret=interpret,
     )(uq, uq, uq, gq, gq, gq, e_even, e_even, e_even, e_odd, e_odd, e_odd)
+    if with_residual:
+        return tuple(out[:-1]) + (jnp.max(out[-1]),)
+    return out

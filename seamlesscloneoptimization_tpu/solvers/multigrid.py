@@ -577,6 +577,78 @@ def _coarse_from_rct(rc_t, h, w, nu1, nu2, coarsest, interpret, geom, cgeom):
                                 interpret=interpret)
 
 
+def _q_rct_setup(h, w, nu1, nu2, coarsest, interpret, qgeom):
+    """(rct_rows | None, cgeom, coarse_fn) for the fused-restrict quarter
+    geometry; rct is None when the strip height can't own whole lane blocks
+    of the transposed coarse RHS (callers fall back to split rh planes)."""
+    from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_geometry_t
+
+    th, hq, wq2, hp2 = qgeom
+    hc, _bh_c = _coarsen(h, 1.0)
+    wc, _bw_c = _coarsen(w, 1.0)
+    cgeom = mg_geometry_t(wc, hc, wp_min=hp2)
+    if not (th % 128 == 0 and hp2 == hq and cgeom[2] == hp2):
+        return None, cgeom, None
+
+    def coarse(rc_t):
+        return _coarse_from_rct(rc_t, h, w, nu1, nu2, coarsest, interpret,
+                                qgeom, cgeom)
+
+    return cgeom[1], cgeom, coarse  # cgeom[1] = chp: rc_t row extent
+
+
+def _solve_q_tol_fused(g_q, uq0, burst, h, w, nu1, nu2, coarsest, interpret,
+                       qgeom, thresh, max_cycles):
+    """Tolerance-mode quarter solve where EVERY cycle boundary is fused.
+
+    The round-4 tol loop ran its checked cycles as separate down+up
+    launches (two fine-level passes each) around a residual decision; this
+    one keeps the fused ``mg_ud_q_pallas`` boundary throughout and reads
+    the residual of the launch's OUTPUT state from its descent half (free
+    — the same red-cell ree/roo the restriction consumes), so a checked
+    cycle costs the same fine-level DMA as a check-free one. Structure:
+
+        down0 -> (burst-1) x [coarse -> ud] -> [coarse -> ud+check] while
+        the check fails (up of cycle k, then descent smoothing of k+1)
+
+    The loop exits on a state that has ALREADY received the next descent's
+    nu1 sweeps — strictly more converged than the checked contract
+    requires; ``it`` counts completed ascents like the round-4 loop.
+    Requires the fused-restrict geometry (caller checks) and burst >= 1.
+    Returns (uq, rmax, it).
+    """
+    from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+        mg_down_q_pallas, mg_ud_q_pallas)
+
+    rct, _cgeom, coarse = _q_rct_setup(h, w, nu1, nu2, coarsest, interpret,
+                                       qgeom)
+    assert rct is not None and burst >= 1
+    u_s, rc_t = mg_down_q_pallas(uq0, g_q, nu1, (h, w), qgeom,
+                                 u_zero=uq0 is None, interpret=interpret,
+                                 rct_rows=rct)
+
+    def free_body(_, st):
+        u_s, rc_t = st
+        e_e, e_o = coarse(rc_t)
+        return mg_ud_q_pallas(u_s, g_q, e_e, e_o, nu2, nu1, (h, w), qgeom,
+                              interpret=interpret, rct_rows=rct)
+
+    u_s, rc_t = jax.lax.fori_loop(0, burst - 1, free_body, (u_s, rc_t))
+
+    def checked_body(st):
+        u_s, rc_t, _, it = st
+        e_e, e_o = coarse(rc_t)
+        u_s, rc_t, rmax = mg_ud_q_pallas(u_s, g_q, e_e, e_o, nu2, nu1,
+                                         (h, w), qgeom, interpret=interpret,
+                                         rct_rows=rct, with_residual=True)
+        return u_s, rc_t, rmax, it + 1
+
+    st = checked_body((u_s, rc_t, jnp.float32(0.0), jnp.int32(burst - 1)))
+    st = jax.lax.while_loop(
+        lambda s: (s[2] > thresh) & (s[3] < max_cycles), checked_body, st)
+    return st[0], st[2], st[3]
+
+
 def _solve_q_fused(g_q, uq0, cycles, h, w, nu1, nu2, coarsest, interpret,
                    qgeom, with_final_residual=False):
     """``cycles`` quarter V-cycles with FUSED cycle boundaries.
@@ -594,21 +666,13 @@ def _solve_q_fused(g_q, uq0, cycles, h, w, nu1, nu2, coarsest, interpret,
     the fused red-cell residual max of the final ascent when
     ``with_final_residual`` (the tol-mode burst consumer).
     """
-    from seamlesscloneoptimization_tpu.ops.pallas_kernels import mg_geometry_t
     from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
         mg_down_q_pallas, mg_ud_q_pallas, mg_up_q_pallas)
 
     th, hq, wq2, hp2 = qgeom
-    hc, bh_c = _coarsen(h, 1.0)
-    wc, bw_c = _coarsen(w, 1.0)
-    cgeom = mg_geometry_t(wc, hc, wp_min=hp2)
-    if th % 128 == 0 and hp2 == hq and cgeom[2] == hp2:
-        rct = cgeom[1]  # chp: the transposed coarse RHS row extent
-
-        def coarse(rc_t):
-            return _coarse_from_rct(rc_t, h, w, nu1, nu2, coarsest,
-                                    interpret, qgeom, cgeom)
-
+    rct, cgeom, coarse = _q_rct_setup(h, w, nu1, nu2, coarsest, interpret,
+                                      qgeom)
+    if rct is not None:
         u_s, rc_t = mg_down_q_pallas(uq0, g_q, nu1, (h, w), qgeom,
                                      u_zero=uq0 is None, interpret=interpret,
                                      rct_rows=rct)
@@ -1008,23 +1072,39 @@ def _solve_multigrid_jit(
             rmax0 = jnp.max(jnp.abs(residual(u, g)))
         from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import _MQ
 
-        if burst and nu1 + nu2 + 2 <= _MQ:
-            # the whole check-free burst runs with FUSED cycle boundaries
-            # (_solve_q_fused) and ends in a checked ascent — the burst's
-            # fine level does cycles+1 launches total instead of 2*cycles
-            uq0, rmax0 = _solve_q_fused(g_q, None if zero0 else uq0, burst,
-                                        h, w, nu1, nu2, coarsest, interpret,
-                                        qgeom, with_final_residual=True)
-        elif burst:  # burst-1 check-free cycles, then one checked one
-            uq0 = jax.lax.fori_loop(
-                0, burst - 1,
-                lambda _, x: vcycle_q(x, g_q, h, w, nu1, nu2, coarsest,
-                                      interpret=interpret, geom=qgeom), uq0)
-            uq0, rmax0 = vcycle_q(uq0, g_q, h, w, nu1, nu2, coarsest,
-                                  interpret=interpret, geom=qgeom,
-                                  with_residual=True)
-        uq, _, it = jax.lax.while_loop(cond_q, body_q,
-                                       (uq0, rmax0, jnp.int32(burst)))
+        import os as _os
+
+        rct_ok = _q_rct_setup(h, w, nu1, nu2, coarsest, interpret,
+                              qgeom)[0] is not None
+        if (rct_ok and nu1 + nu2 + 2 <= _MQ and max_cycles >= 1
+                and _os.environ.get("SCL_MG_TOLFUSED", "1") == "1"):
+            # round-5 fused tol loop: EVERY cycle boundary (checked or not)
+            # is one mg_ud_q_pallas launch; the check reads the launch's
+            # own descent-half residual. vs the round-4 structure
+            # (fused burst + down/up-per-checked-cycle) this removes one
+            # full fine-level pass per checked cycle AND the separate
+            # burst-ending ascent (_solve_q_tol_fused docstring).
+            uq, _, it = _solve_q_tol_fused(
+                g_q, None if zero0 else uq0, max(1, burst), h, w, nu1, nu2,
+                coarsest, interpret, qgeom, thresh, max_cycles)
+        else:
+            if burst and nu1 + nu2 + 2 <= _MQ:
+                # check-free burst with FUSED cycle boundaries ending in a
+                # checked ascent — cycles+1 fine launches instead of 2*cycles
+                uq0, rmax0 = _solve_q_fused(g_q, None if zero0 else uq0,
+                                            burst, h, w, nu1, nu2, coarsest,
+                                            interpret, qgeom,
+                                            with_final_residual=True)
+            elif burst:  # burst-1 check-free cycles, then one checked one
+                uq0 = jax.lax.fori_loop(
+                    0, burst - 1,
+                    lambda _, x: vcycle_q(x, g_q, h, w, nu1, nu2, coarsest,
+                                          interpret=interpret, geom=qgeom), uq0)
+                uq0, rmax0 = vcycle_q(uq0, g_q, h, w, nu1, nu2, coarsest,
+                                      interpret=interpret, geom=qgeom,
+                                      with_residual=True)
+            uq, _, it = jax.lax.while_loop(cond_q, body_q,
+                                           (uq0, rmax0, jnp.int32(burst)))
         if padded_output == "quarters":
             return uq  # serve tail consumes the checkerboard directly
         u = from_quarters_pallas(uq, interpret=interpret)

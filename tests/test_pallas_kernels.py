@@ -915,6 +915,62 @@ class TestFusedMultigridKernels:
         for a, b in zip(got, want):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
+    def test_fused_ud_with_residual(self):
+        """mg_ud_q_pallas(with_residual=True): same planes/rh outputs,
+        plus the descent-half residual max == the dense residual of the
+        OUTPUT state (round 5: makes checked tol cycles cost the same
+        fine-level DMA as check-free ones)."""
+        from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
+            from_quarters, mg_geometry_q, mg_ud_q_pallas, to_quarters)
+        from seamlesscloneoptimization_tpu.solvers.jacobi import residual as res_d
+
+        h, w = 64, 130
+        g = _rand((3, h, w), seed=51)
+        u0 = _rand((3, h, w), seed=52, scale=10.0)
+        geom = mg_geometry_q(h, w, th=16)
+        th, hq, wq2, hp2 = geom
+        hc = (h - 1) // 2
+
+        def pad_q(x):
+            xp = jnp.asarray(np.pad(np.asarray(x), (
+                (0, 0), (0, 2 * hq - h), (0, 2 * wq2 - w))))
+            return to_quarters(xp)
+
+        rng = np.random.default_rng(53)
+        e_e = np.zeros((3, hp2, wq2), np.float32)
+        e_o = np.zeros((3, hp2, wq2), np.float32)
+        e_e[:, :hc, :] = rng.normal(size=(3, hc, wq2)) * 5
+        e_o[:, :hc, :] = rng.normal(size=(3, hc, wq2)) * 5
+        e_e, e_o = jnp.asarray(e_e), jnp.asarray(e_o)
+        uq0, gq = pad_q(u0), pad_q(g)
+        plain = mg_ud_q_pallas(uq0, gq, e_e, e_o, 2, 1, (h, w), geom,
+                               interpret=True)
+        withr = mg_ud_q_pallas(uq0, gq, e_e, e_o, 2, 1, (h, w), geom,
+                               interpret=True, with_residual=True)
+        for a, b in zip(plain, withr[:-1]):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        u_out = jnp.asarray(np.asarray(from_quarters(withr[0]))[:, :h, :w])
+        want_r = float(jnp.abs(res_d(u_out, g)).max())
+        got_r = float(withr[-1])
+        assert abs(got_r - want_r) <= 1e-3 + 1e-4 * want_r, (got_r, want_r)
+
+    def test_fused_tol_loop_contract(self):
+        """The round-5 fused tol loop (_solve_q_tol_fused, reached through
+        solve_multigrid's padded='q' tolerance mode at the default rct
+        geometry) honors the tolerance contract and reports cycles."""
+        from seamlesscloneoptimization_tpu.solvers.jacobi import residual
+        from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+
+        g = _rand((1, 511, 517), seed=54)
+        gn = float(jnp.abs(g).max())
+        u, info = solve_multigrid(g, tol=1e-3, use_pallas=True,
+                                  interpret=True, padded="q",
+                                  return_info=True)
+        r = float(jnp.abs(residual(u[:, :511, :517] if u.shape[1] != 511
+                                   else u, g)).max()) / gn
+        assert r <= 1e-3 * 1.01, r
+        assert 1 <= int(info["cycles"]) <= 60
+
     def test_fused_solve_matches_unfused_loop(self):
         """solve_multigrid's fused fixed-cycles pipeline == the plain
         vcycle_q loop. Bit-equal everywhere EXCEPT the even-size
