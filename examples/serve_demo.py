@@ -33,7 +33,10 @@ def main():
     body = cv2.imread("/root/reference/seamlessClone-OpenCV/images/sky.jpg")
     mask = np.full(face.shape[:2], 255, np.uint8)  # the test's np.full mask
 
-    eng = SeamlessClone(CloneConfig(solver="dst_gemm"))
+    # bare CloneConfig(): solver="auto" resolves to the measured winner for
+    # the patch size (dst_gemm here — the demo patch is far below the 7 MP
+    # crossover), with the full fast serve chain
+    eng = SeamlessClone(CloneConfig())
     out = body
     t0 = time.perf_counter()
     for i in range(n_frames):

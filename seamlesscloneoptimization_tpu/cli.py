@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "dst_gemm", "dst_fft", "jacobi", "multigrid"],
                    help="Poisson solver; auto (default) resolves per patch "
                         "size with the measured crossovers (7 MP single-shot "
-                        "/ 13 MP serve — docs/PERF.md)")
+                        "/ 9 MP serve — docs/PERF.md)")
     p.add_argument("--flags", type=int, default=1,
                    help="1=NORMAL_CLONE 2=MIXED_CLONE 3=MONOCHROME_TRANSFER")
     p.add_argument("--loops", type=int, default=1,

@@ -31,7 +31,7 @@ class CloneConfig:
     # bare CloneConfig() reproduces the bench.py headline configuration
     # (docs/PERF.md), INCLUDING the solver choice — "auto" resolves per
     # compiled program with the measured crossovers (7 MP single-shot /
-    # 13 MP chained serve, solvers/__init__.py), so a <7 MP patch runs the
+    # 9 MP chained serve, solvers/__init__.py), so a <7 MP patch runs the
     # folded-bf16_3x DST GEMMs and an 8K patch runs the quarter-plane
     # multigrid that is both faster and better-conditioned there (direct
     # f32 rel-residual 1.7e-2 at 10.6 MP vs multigrid's 1.5e-4 — PERF.md).

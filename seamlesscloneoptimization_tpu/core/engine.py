@@ -133,9 +133,9 @@ def _effective_solver(solver: str, bbox_hw, planar_dst: bool) -> str:
 
     The planar serve programs (timed_serve's chained loop) use the
     SERVE-mode crossover: the dst chain overlaps its GEMMs across chained
-    frames, so it stays ahead of the O(N) multigrid until ~13 MP (measured
-    2026-08-20: 10.6 MP dst 10.3-10.6 vs mg tol 10.76; 16.5 MP dst 19.02 vs
-    mg 18.42). Single-shot programs keep the isolated-solve crossover
+    frames, so it stays ahead of the O(N) multigrid until ~9 MP (round-5
+    campaign, 2026-08-20: 9 MP dst 7.92 vs mg tol 7.82; 16.5 MP dst 19.14
+    vs mg 16.96). Single-shot programs keep the isolated-solve crossover
     (7 MP, the solver's tolerance contract — docs/PERF.md).
     """
     if solver != "auto":

@@ -47,13 +47,16 @@ from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 AUTO_CROSSOVER_PIXELS = 7_000_000
 
 # Chained-serve crossover (the engine's planar serve programs): the dst
-# chain overlaps its GEMMs across chained frames, buying it ~2x in
-# MP-equivalents over the isolated-solve comparison — measured 2026-08-20
-# under the shipped defaults: 10.6 MP dst 10.3-10.6 vs mg tol 10.76
-# ms/frame (bands touching after the quarters serve-tail campaign),
-# 16.5 MP dst 19.02 vs mg 18.42 (mg clearly ahead) -> crossover ~12-13 MP;
-# 13 MP keeps the dst path wherever the bands still overlap.
-SERVE_CROSSOVER_PIXELS = 13_000_000
+# chain overlaps its GEMMs across chained frames, so it stays ahead of the
+# isolated-solve crossover — but the round-5 campaign (fused tolerance
+# loop + narrowed paste windows) moved the serve crossover down from
+# ~13 MP to ~9 MP. Measured 2026-08-20 (same session, shipped defaults,
+# ms/frame mg-tol vs dst): 6.7 MP 6.10 vs 4.80 (dst), 8.3 MP 8.17 vs 7.55
+# (dst), 9.0 MP 7.82 vs 7.92 (mg), 10.6 MP 10.13 vs 10.36 (mg; later
+# same-day reps tie inside the +-3% band), 16.5 MP 16.96 vs 19.14 (mg,
+# beyond noise). Ties above the line go to multigrid: its conditioning is
+# orders better there (rel-residual 1.5e-4 vs the direct f32's 1.7e-2).
+SERVE_CROSSOVER_PIXELS = 9_000_000
 
 
 def auto_solver_name(shape, crossover: int = AUTO_CROSSOVER_PIXELS) -> str:

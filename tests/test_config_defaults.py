@@ -130,7 +130,7 @@ class TestSolveAutoAlignment:
 
 class TestAutoResolution:
     """The engine resolves "auto" per compiled program with the measured
-    crossovers (7 MP single-shot / 13 MP chained serve — solvers/__init__.py,
+    crossovers (7 MP single-shot / 9 MP chained serve — solvers/__init__.py,
     docs/PERF.md). VERDICT r4 next #2: bare-config resolution on both sides
     of BOTH crossovers."""
 
@@ -149,7 +149,8 @@ class TestAutoResolution:
 
     def test_serve_crossover_both_sides(self):
         # serve programs overlap the dst GEMM chain across frames: the
-        # crossover sits higher (13 MP) — 8.6 MP serve stays direct
+        # crossover sits higher than single-shot (9 MP after the round-5
+        # campaign) — 8.6 MP serve stays direct
         assert self._eff(2930, 2930, True) == "dst_gemm"
         # 16 MP serve -> multigrid; 8K serve -> multigrid
         assert self._eff(4000, 4000, True) == "multigrid"

@@ -451,7 +451,7 @@ class TestCloneRoiMgTail:
 class TestAutoResolvesInEngine:
     def test_serve_programs_use_serve_crossover(self):
         """Between the isolated-solve crossover (7 MP) and the serve-mode
-        crossover (13 MP), the chained planar serve program must resolve
+        crossover (9 MP), the chained planar serve program must resolve
         auto to dst_gemm (its GEMMs overlap across chained frames) while
         the single-shot program picks multigrid (docs/PERF.md)."""
         from seamlesscloneoptimization_tpu.core.engine import _effective_solver
