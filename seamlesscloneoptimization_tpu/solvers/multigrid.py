@@ -564,14 +564,24 @@ def _coarse_q(rh_e, rh_o, h, w, nu1, nu2, coarsest, interpret, geom):
 
 def _coarse_from_rct(rc_t, h, w, nu1, nu2, coarsest, interpret, geom, cgeom):
     """Coarse solve + split-plane prolongation from an ALREADY-restricted
-    transposed coarse RHS (the fused-restrict kernels' rc_t output)."""
+    transposed coarse RHS (the fused-restrict kernels' rc_t output).
+
+    SCL_MG_COARSE_NU="n1,n2" overrides the coarse V-cycle's sweep counts —
+    a measurement probe ONLY (changes accuracy): if halving the coarse
+    work does not move the serve time, the coarse solve is hidden under
+    the fine-level DMA and quarter-izing it buys nothing (tpu_queue §5).
+    """
+    import os
+
     from seamlesscloneoptimization_tpu.ops.pallas_mg_quarter import (
         mg_prolong_tq_pallas)
 
     th, hq, wq2, hp2 = geom
     hc, bh_c = _coarsen(h, 1.0)
     wc, bw_c = _coarsen(w, 1.0)
-    ec_t = vcycle_t(jnp.zeros_like(rc_t), rc_t, wc, hc, nu1, nu2, coarsest,
+    env = os.environ.get("SCL_MG_COARSE_NU")
+    cn1, cn2 = (int(x) for x in env.split(",")) if env else (nu1, nu2)
+    ec_t = vcycle_t(jnp.zeros_like(rc_t), rc_t, wc, hc, cn1, cn2, coarsest,
                     interpret, bw_c, bh_c, u_zero=True, geom=cgeom)
     return mg_prolong_tq_pallas(ec_t, h, w, 1.0, out_rows=hp2, wq2=wq2,
                                 interpret=interpret)

@@ -456,7 +456,7 @@ class TestAutoResolvesInEngine:
         the single-shot program picks multigrid (docs/PERF.md)."""
         from seamlesscloneoptimization_tpu.core.engine import _effective_solver
 
-        mid = (3302, 3302)  # ~10.9 MP: between the two crossovers
+        mid = (2832, 2832)  # ~8 MP: between the two crossovers
         assert _effective_solver("auto", mid, planar_dst=False) == "multigrid"
         assert _effective_solver("auto", mid, planar_dst=True) == "dst_gemm"
         small = (1202, 1202)  # below both
