@@ -541,7 +541,7 @@ class SeamlessClone:
         heal = healed is not out
         self.metrics["heal_fired"] = heal
         out = healed
-        rpc_ms = self._sync_overhead_ms()
+        rpc_pre = self._sync_overhead_ms()
 
         def one_pass():
             nonlocal out
@@ -551,10 +551,17 @@ class SeamlessClone:
                 if heal:
                     out = ensure_fmt(out)
             float(sync(out))
-            return max(((time.perf_counter() - t0) * 1e3 - rpc_ms) / loops, 1e-6)
+            return (time.perf_counter() - t0) * 1e3
 
-        # two passes, take the faster: tunnel latency spikes are one-sided noise
-        mean_ms = min(one_pass(), one_pass())
+        # two passes, take the faster: tunnel latency spikes are one-sided
+        # noise. The sync round-trip is sampled BEFORE and AFTER and the MIN
+        # subtracted — a single turbulent pre-sample over-subtracts and
+        # reports an impossibly fast frame (seen 2026-08-20: a 47.6 ms rpc
+        # estimate during tunnel churn shaved ~1 ms/frame off a 20-loop
+        # pass); under-subtraction merely reports conservatively.
+        elapsed = min(one_pass(), one_pass())
+        rpc_ms = min(rpc_pre, self._sync_overhead_ms())
+        mean_ms = max((elapsed - rpc_ms) / loops, 1e-6)
         out = self._track(to_inter(out))
         self.metrics["compute_ms"] = mean_ms
         self.metrics["sync_overhead_ms"] = rpc_ms
