@@ -27,6 +27,7 @@ __all__ = [
     "seamless_clone_np",
     "seamless_clone",
     "SeamlessClone",
+    "TiledSeamlessClone",
 ]
 
 
@@ -41,4 +42,8 @@ def __getattr__(name):
         from seamlesscloneoptimization_tpu.core.engine import SeamlessClone
 
         return SeamlessClone
+    if name == "TiledSeamlessClone":
+        from seamlesscloneoptimization_tpu.parallel import TiledSeamlessClone
+
+        return TiledSeamlessClone
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -452,6 +452,27 @@ class TestTiledServeEngine:
         tiled.timed_serve(airplane, sky, full_mask.copy(), (800, 150), loops=1)
         assert len(tiled._cache) == n
 
+    def test_mixed_and_monochrome_flags_on_mesh(self, airplane, sky, full_mask):
+        """The mesh engine inherits the full flags surface (MIXED_CLONE /
+        MONOCHROME_TRANSFER guidance rules partition tile-locally)."""
+        import cv2
+
+        from seamlesscloneoptimization_tpu.core.config import CloneConfig
+        from seamlesscloneoptimization_tpu.parallel import (
+            TiledSeamlessClone,
+            make_tile_mesh,
+        )
+
+        mesh = make_tile_mesh(jax.devices()[:8], (2, 4))
+        eng = TiledSeamlessClone(CloneConfig(tol=1e-6), mesh=mesh)
+        for flags, cvflag in ((2, cv2.MIXED_CLONE), (3, cv2.MONOCHROME_TRANSFER)):
+            out = np.asarray(eng.run(airplane, sky, full_mask.copy(),
+                                     (800, 150), flags))
+            golden = cv2.seamlessClone(airplane, sky, full_mask.copy(),
+                                       (800, 150), cvflag)
+            d = np.abs(out.astype(int) - golden.astype(int)).max()
+            assert d <= 1, (flags, d)
+
     def test_1x1_mesh_degenerates_to_engine(self, airplane, sky, full_mask):
         """A 1x1 mesh runs the identical single-chip program (same solver
         resolution, same kwargs) — byte-equal output."""
