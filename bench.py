@@ -145,15 +145,22 @@ def batch_metric(device, loops: int = 20):
     float(sync(out))  # warm-up compile + sync-op compile
     f = jax.jit(lambda x: x + 1)
     float(f(jnp.float32(1.0)))
-    t0 = time.perf_counter()
-    for _ in range(8):
-        float(f(jnp.float32(1.0)))
-    rpc_ms = (time.perf_counter() - t0) / 8 * 1e3
+
+    def rpc_sample():
+        t0 = time.perf_counter()
+        for _ in range(8):
+            float(f(jnp.float32(1.0)))
+        return (time.perf_counter() - t0) / 8 * 1e3
+
+    # min(pre, post) rpc like timed_serve: a turbulent one-shot estimate
+    # over-subtracts and reports impossible step times
+    rpc_pre = rpc_sample()
     t0 = time.perf_counter()
     for _ in range(loops):
         out = fn(out, srcs, masks, lts)
     float(sync(out))
-    return max(((time.perf_counter() - t0) * 1e3 - rpc_ms) / loops, 1e-6)
+    elapsed = (time.perf_counter() - t0) * 1e3
+    return max((elapsed - min(rpc_pre, rpc_sample())) / loops, 1e-6)
 
 
 def main():
