@@ -91,7 +91,7 @@ def edit_guidance(src_f, me, params, edge_mask, *, kind):
     return gx, gy
 
 
-@partial(jax.jit, static_argnames=("kind",), donate_argnums=())
+@partial(jax.jit, static_argnames=("kind", "crossover"), donate_argnums=())
 def local_edit_planar(
     src_p: jnp.ndarray,
     mask_eroded: jnp.ndarray,
@@ -99,6 +99,7 @@ def local_edit_planar(
     edge_mask: jnp.ndarray | None = None,
     *,
     kind: str,
+    crossover: int | None = None,
 ) -> jnp.ndarray:
     """Gradient-domain edit of a planar (C, H, W) u8 image, full-image solve.
 
@@ -110,10 +111,28 @@ def local_edit_planar(
                           the host-computed Canny edge map
     Returns the edited planar u8 image.
     """
+    from seamlesscloneoptimization_tpu.solvers import auto_solver_name
     from seamlesscloneoptimization_tpu.solvers.dst_gemm import solve_dst_gemm
+    from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 
     src_f = src_p.astype(jnp.float32)
     gx, gy = edit_guidance(src_f, mask_eroded, params, edge_mask, kind=kind)
     g = poisson_rhs(gx, gy, src_f)
-    u = solve_dst_gemm(g)
+    # The editing family solves on the WHOLE image, so huge panoramas cross
+    # the same solver crossover the clone engine's "auto" applies (7 MP —
+    # beyond it the direct path is slower, its f32 conditioning degrades,
+    # and its O(H^2+W^2) eigenbasis approaches the HBM budget). Below the
+    # crossover the exact direct solve is kept bit-for-bit as before; above
+    # it the quarter-plane multigrid solves to 1e-5 (the same tolerance the
+    # sharded local_edit_tiled uses — well past u8 quantization).
+    # ``crossover`` (trace-time static) exists for tests; None = the
+    # measured constant.
+    from seamlesscloneoptimization_tpu.solvers import AUTO_CROSSOVER_PIXELS
+
+    if auto_solver_name(g.shape, crossover if crossover is not None
+                        else AUTO_CROSSOVER_PIXELS) == "multigrid":
+        u = solve_multigrid(g, tol=1e-5,
+                            use_pallas=jax.default_backend() == "tpu")
+    else:
+        u = solve_dst_gemm(g)
     return postprocess_roi(u, src_p)

@@ -457,6 +457,35 @@ class TestLocalEdits:
         d = np.abs(want.astype(int) - got.astype(int)).max()
         assert d <= 1, d
 
+    def test_big_image_edit_routes_to_multigrid(self):
+        """Past the 7 MP crossover the full-image edit solve runs the
+        multigrid path (round 5 — the direct eigenbasis is slower, worse
+        conditioned and HBM-hungry there); forced here via the static
+        crossover arg at CPU-test size, still bit-close to cv2."""
+        import jax.numpy as jnp
+
+        from seamlesscloneoptimization_tpu.api import _local_edit  # noqa
+        from seamlesscloneoptimization_tpu.ops.edit import (
+            COLOR_CHANGE,
+            erode3x3_replicate,
+            local_edit_planar,
+        )
+
+        rng = np.random.default_rng(9)
+        src = rng.integers(0, 256, (90, 110, 3)).astype(np.uint8)
+        mask = np.zeros((90, 110), np.uint8)
+        cv2.circle(mask, (55, 45), 30, 255, -1)
+        want = cv2.colorChange(src, mask.copy(), red_mul=1.4, green_mul=0.8,
+                               blue_mul=1.1)
+        me = erode3x3_replicate(jnp.asarray((mask != 0).astype(np.float32)))
+        got = local_edit_planar(
+            jnp.asarray(np.transpose(src, (2, 0, 1))), me,
+            jnp.asarray([1.1, 0.8, 1.4], jnp.float32), kind=COLOR_CHANGE,
+            crossover=1_000)  # force the multigrid branch
+        got = np.transpose(np.asarray(got), (1, 2, 0))
+        d = np.abs(want.astype(int) - got.astype(int)).max()
+        assert d <= 1, d
+
     def test_oracle_matches_cv2(self):
         """NumPy oracle (core/reference.local_edit_np) vs cv2, all kinds."""
         rng = np.random.default_rng(7)
