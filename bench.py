@@ -99,7 +99,7 @@ def pallas_parity_check(eng):
     return dmax
 
 
-def batch_metric(device, loops: int = 20):
+def batch_metric(eng, loops: int = 20):
     """BASELINE "64 masks into one 4K destination": ms per fused batch step.
 
     Device-resident inputs, each step's output chained as the next step's
@@ -130,6 +130,7 @@ def batch_metric(device, loops: int = 20):
     use_pallas = os.environ.get("SCL_BATCH_PALLAS", "0") == "1"
 
     rng = np.random.default_rng(0)
+    device = eng.device
     n, b = 64, 130  # 64 jobs, 128x128 interiors
     hd, wd = 2160, 3840
     dst = jax.device_put(rng.integers(0, 256, (hd, wd, 3)).astype(np.uint8), device)
@@ -143,24 +144,16 @@ def batch_metric(device, loops: int = 20):
     sync = jax.jit(lambda x: jnp.max(x))
     out = fn(dst, srcs, masks, lts)
     float(sync(out))  # warm-up compile + sync-op compile
-    f = jax.jit(lambda x: x + 1)
-    float(f(jnp.float32(1.0)))
-
-    def rpc_sample():
-        t0 = time.perf_counter()
-        for _ in range(8):
-            float(f(jnp.float32(1.0)))
-        return (time.perf_counter() - t0) / 8 * 1e3
-
-    # min(pre, post) rpc like timed_serve: a turbulent one-shot estimate
-    # over-subtracts and reports impossible step times
-    rpc_pre = rpc_sample()
+    # min(pre, post) rpc like timed_serve (one shared sampler — the engine's
+    # _sync_overhead_ms): a turbulent one-shot estimate over-subtracts and
+    # reports impossible step times
+    rpc_pre = eng._sync_overhead_ms()
     t0 = time.perf_counter()
     for _ in range(loops):
         out = fn(out, srcs, masks, lts)
     float(sync(out))
     elapsed = (time.perf_counter() - t0) * 1e3
-    return max((elapsed - min(rpc_pre, rpc_sample())) / loops, 1e-6)
+    return max((elapsed - min(rpc_pre, eng._sync_overhead_ms())) / loops, 1e-6)
 
 
 def main():
@@ -262,7 +255,7 @@ def main():
     batch_ms = None
     if solver_eff == "dst_gemm" and os.environ.get("SCL_BENCH_BATCH", "1") == "1":
         try:
-            batch_ms = round(batch_metric(eng.device), 3)
+            batch_ms = round(batch_metric(eng), 3)
         except Exception as e:  # never let the extra kill the headline line
             print(f"batch_metric failed: {e}", file=sys.stderr)
 

@@ -216,6 +216,12 @@ class SeamlessClone:
             kwargs.update(tol=self.config.tol, cycles=self.config.mg_cycles)
         return SOLVERS[eff], kwargs
 
+    def _resolve_solver(self, bbox_hw, planar_dst: bool) -> str:
+        """The solver name a program for this geometry actually runs —
+        recorded in metrics. The tiled engine reports its DD/GSPMD
+        multigrid on real meshes instead of the crossover answer."""
+        return _effective_solver(self.config.solver, bbox_hw, planar_dst)
+
     def _pallas_gates(self, eff: str):
         """(use_pallas_pre, use_pallas_post, solver_name) for the pipeline.
         Pallas serve tail per solver: dst_gemm's transposed/padded GEMM
@@ -248,7 +254,7 @@ class SeamlessClone:
         # of funneling through solve_auto and losing the Pallas tail).
         # Recorded in metrics so callers (CLI, bench, tests) can see which
         # path a given program actually ran — "auto" is the shipped default.
-        eff = _effective_solver(self.config.solver, bbox_hw, planar_dst)
+        eff = self._resolve_solver(bbox_hw, planar_dst)
         self.metrics["solver_resolved"] = eff
         key = (src_shape, dst_shape, bbox_hw, flags, planar_dst,
                self.config.cache_key_extras())

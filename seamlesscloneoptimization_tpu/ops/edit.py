@@ -111,9 +111,10 @@ def local_edit_planar(
                           the host-computed Canny edge map
     Returns the edited planar u8 image.
     """
-    from seamlesscloneoptimization_tpu.solvers import auto_solver_name
-    from seamlesscloneoptimization_tpu.solvers.dst_gemm import solve_dst_gemm
-    from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
+    from seamlesscloneoptimization_tpu.solvers import (
+        AUTO_CROSSOVER_PIXELS,
+        solve_auto,
+    )
 
     src_f = src_p.astype(jnp.float32)
     gx, gy = edit_guidance(src_f, mask_eroded, params, edge_mask, kind=kind)
@@ -121,18 +122,15 @@ def local_edit_planar(
     # The editing family solves on the WHOLE image, so huge panoramas cross
     # the same solver crossover the clone engine's "auto" applies (7 MP —
     # beyond it the direct path is slower, its f32 conditioning degrades,
-    # and its O(H^2+W^2) eigenbasis approaches the HBM budget). Below the
-    # crossover the exact direct solve is kept bit-for-bit as before; above
-    # it the quarter-plane multigrid solves to 1e-5 (the same tolerance the
-    # sharded local_edit_tiled uses — well past u8 quantization).
-    # ``crossover`` (trace-time static) exists for tests; None = the
-    # measured constant.
-    from seamlesscloneoptimization_tpu.solvers import AUTO_CROSSOVER_PIXELS
-
-    if auto_solver_name(g.shape, crossover if crossover is not None
-                        else AUTO_CROSSOVER_PIXELS) == "multigrid":
-        u = solve_multigrid(g, tol=1e-5,
-                            use_pallas=jax.default_backend() == "tpu")
-    else:
-        u = solve_dst_gemm(g)
+    # and its O(H^2+W^2) eigenbasis approaches the HBM budget). solve_auto
+    # dispatches: below the crossover the exact direct solve keeps this
+    # path's historical bit-exact configuration (f32, unfolded); above it
+    # the quarter-plane multigrid (padded="q") solves to 1e-5 (the same
+    # tolerance the sharded local_edit_tiled uses — well past u8
+    # quantization). ``crossover`` (trace-time static) exists for tests;
+    # None = the measured constant.
+    u = solve_auto(g, tol=1e-5, precision="highest", folded=False,
+                   padded="q",
+                   crossover=(crossover if crossover is not None
+                              else AUTO_CROSSOVER_PIXELS))
     return postprocess_roi(u, src_p)

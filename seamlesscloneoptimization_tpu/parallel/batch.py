@@ -224,7 +224,8 @@ def seamless_clone_batch_fused(
     (``clone_batch_composite_dyn`` — the batched analogue of
     ``CloneConfig.bucket_exact``), so mixed-size batches stay bit-close to
     N sequential ``seamless_clone`` calls. ``tol``/``mg_cycles`` control
-    that solve (cycles = fixed-work serving mode).
+    that solve (cycles = fixed-work serving mode); an explicit ``solver``
+    cannot apply in this mode and raises.
 
     Args:
       dst: (H, W, C) uint8 destination.
@@ -244,6 +245,12 @@ def seamless_clone_batch_fused(
     """
     import numpy as np
 
+    if bucket == "pad_exact" and solver is not None:
+        raise ValueError(
+            "bucket='pad_exact' always solves each job's tight system with "
+            "the runtime-domain multigrid (clone_batch_composite_dyn); an "
+            "explicit solver cannot apply — pass bucket='exact'/'pad' with "
+            "your solver, or drop the solver argument")
     if solver is None:
         solver = fast_dst_solver(precision, folded)
     dst = np.asarray(dst)

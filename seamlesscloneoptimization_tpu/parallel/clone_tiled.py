@@ -122,6 +122,13 @@ class TiledSeamlessClone(SeamlessClone):
                 "repl": P()}[kind]
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
+    def _resolve_solver(self, bbox_hw, planar_dst):
+        if self._single:
+            return super()._resolve_solver(bbox_hw, planar_dst)
+        # real meshes always run the distributed multigrid — the metric
+        # must say so, not the single-chip crossover answer
+        return f"multigrid_{self.path}"
+
     def _solver_for(self, eff):
         if self._single:
             return super()._solver_for(eff)

@@ -1086,7 +1086,11 @@ def _solve_multigrid_jit(
 
         rct_ok = _q_rct_setup(h, w, nu1, nu2, coarsest, interpret,
                               qgeom)[0] is not None
-        if (rct_ok and nu1 + nu2 + 2 <= _MQ and max_cycles >= 1
+        # burst >= 1 gate: the fused loop always runs at least one cycle,
+        # so burst == 0 (SCL_MG_BURST=0 probe / near-0.15 tolerances, where
+        # an already-converged warm start must exit after the free rmax0
+        # check) keeps the check-first fallback loop below.
+        if (rct_ok and nu1 + nu2 + 2 <= _MQ and max_cycles >= 1 and burst >= 1
                 and _os.environ.get("SCL_MG_TOLFUSED", "1") == "1"):
             # round-5 fused tol loop: EVERY cycle boundary (checked or not)
             # is one mg_ud_q_pallas launch; the check reads the launch's
@@ -1095,7 +1099,7 @@ def _solve_multigrid_jit(
             # full fine-level pass per checked cycle AND the separate
             # burst-ending ascent (_solve_q_tol_fused docstring).
             uq, _, it = _solve_q_tol_fused(
-                g_q, None if zero0 else uq0, max(1, burst), h, w, nu1, nu2,
+                g_q, None if zero0 else uq0, burst, h, w, nu1, nu2,
                 coarsest, interpret, qgeom, thresh, max_cycles)
         else:
             if burst and nu1 + nu2 + 2 <= _MQ:
