@@ -472,6 +472,9 @@ class TestTiledServeEngine:
                                        (800, 150), cvflag)
             d = np.abs(out.astype(int) - golden.astype(int)).max()
             assert d <= 1, (flags, d)
+        # on a real mesh the metric reports the distributed solver that
+        # actually ran, not the single-chip crossover answer
+        assert eng.metrics["solver_resolved"] == "multigrid_dd"
 
     def test_1x1_mesh_degenerates_to_engine(self, airplane, sky, full_mask):
         """A 1x1 mesh runs the identical single-chip program (same solver
