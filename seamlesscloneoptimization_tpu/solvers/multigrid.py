@@ -587,6 +587,26 @@ def _coarse_from_rct(rc_t, h, w, nu1, nu2, coarsest, interpret, geom, cgeom):
                                 interpret=interpret)
 
 
+def _cycle_chain(body, st, n: int):
+    """Run ``n`` check-free V-cycle boundaries: unrolled straight-line
+    calls for small static n, fori_loop past that.
+
+    A ``fori_loop`` carrying the (C, 4, hq, wq2) quarter planes pays a
+    full-array XLA copy per iteration (~0.4 ms for the 129 MB 8K carry —
+    the while/fori slot cannot be read and written by the same unaliased
+    custom call, xprof `copy.32`); straight-line repetitions let buffer
+    assignment chain the pallas outputs copy-free. The unroll bound keeps
+    the duplicated coarse-chain HLO (compile time) within reason — burst
+    and fixed-cycle counts are <= ~6 in practice, far below it.
+    Bit-identical either way (same ops in the same order).
+    """
+    if n <= 8:
+        for _ in range(n):
+            st = body(0, st)
+        return st
+    return jax.lax.fori_loop(0, n, body, st)
+
+
 def _q_rct_setup(h, w, nu1, nu2, coarsest, interpret, qgeom):
     """(rct_rows | None, cgeom, coarse_fn) for the fused-restrict quarter
     geometry; rct is None when the strip height can't own whole lane blocks
@@ -643,7 +663,7 @@ def _solve_q_tol_fused(g_q, uq0, burst, h, w, nu1, nu2, coarsest, interpret,
         return mg_ud_q_pallas(u_s, g_q, e_e, e_o, nu2, nu1, (h, w), qgeom,
                               interpret=interpret, rct_rows=rct)
 
-    u_s, rc_t = jax.lax.fori_loop(0, burst - 1, free_body, (u_s, rc_t))
+    u_s, rc_t = _cycle_chain(free_body, (u_s, rc_t), burst - 1)
 
     def checked_body(st):
         u_s, rc_t, _, it = st
@@ -693,7 +713,7 @@ def _solve_q_fused(g_q, uq0, cycles, h, w, nu1, nu2, coarsest, interpret,
             return mg_ud_q_pallas(u_s, g_q, e_e, e_o, nu2, nu1, (h, w),
                                   qgeom, interpret=interpret, rct_rows=rct)
 
-        u_s, rc_t = jax.lax.fori_loop(0, cycles - 1, body, (u_s, rc_t))
+        u_s, rc_t = _cycle_chain(body, (u_s, rc_t), cycles - 1)
         e_e, e_o = coarse(rc_t)
         return mg_up_q_pallas(u_s, g_q, e_e, e_o, nu2, (h, w), qgeom,
                               interpret=interpret,
