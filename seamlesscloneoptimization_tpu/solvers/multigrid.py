@@ -802,7 +802,11 @@ def _solve_multigrid_jit(
     interpret: bool = False,
     coarsest: int = 63,
     fmg_start: bool = False,
-    padded: bool = False,
+    padded: bool | str = "q",  # the measured-fast default (CloneConfig's
+    # mg_padded): quarter-plane finest level + transpose-fused coarse chain.
+    # Self-gating — off-TPU / small grids / unusual nu fall back through
+    # "t"/dense automatically, so a bare solve_multigrid() call gets the
+    # same path the engine ships (the imp.h:15 best-path-as-default rule).
     padded_output: bool = False,
     true_hw: tuple[int, int] | None = None,
 ):

@@ -1040,13 +1040,18 @@ class TestFusedMultigridKernels:
         from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 
         g = _rand((1, 512, 520), seed=16)
-        want = solve_multigrid(g, cycles=2, use_pallas=True, interpret=True)
+        # padded=False explicitly: the DEFAULT is the quarter path now
+        # (best-path-as-default, round 5) — this test compares the two
+        # dense-chain modes against each other
+        want = solve_multigrid(g, cycles=2, use_pallas=True, interpret=True,
+                               padded=False)
         got = solve_multigrid(g, cycles=2, use_pallas=True, interpret=True,
                               padded=True)
         assert np.array_equal(np.asarray(got), np.asarray(want))
         # tolerance-driven (while_loop) path: same bitwise contract
         want_t, info_w = solve_multigrid(g, tol=1e-3, use_pallas=True,
-                                         interpret=True, return_info=True)
+                                         interpret=True, return_info=True,
+                                         padded=False)
         got_t, info_g = solve_multigrid(g, tol=1e-3, use_pallas=True,
                                         interpret=True, padded=True,
                                         return_info=True)
