@@ -25,25 +25,27 @@ from seamlesscloneoptimization_tpu.solvers.jacobi import solve_redblack, redblac
 from seamlesscloneoptimization_tpu.solvers.multigrid import solve_multigrid
 
 # Direct DST-GEMM is O(N^1.5) FLOPs on the MXU; multigrid is O(N). Fresh
-# v5e constants (tools/time_solver.py, 2026-08-20, winning configs: folded
-# DST / quarter-plane multigrid padded="q" with FUSED cycle boundaries —
-# mg_ud_q_pallas, solvers/multigrid._solve_q_fused). TOLERANCE mode
-# (what solve_auto promises), tol=2e-4, same-session back-to-back:
+# v5e constants (tools/time_solver.py, 2026-08-20 round-5 refresh after
+# the unrolled cycle chains; winning configs: folded DST /
+# quarter-plane multigrid padded="q" with fused cycle boundaries).
+# TOLERANCE mode (what solve_auto promises), tol=2e-4, same-session:
 #
-#   3.7 MP (1550x2398):  mg 4.26  vs dst 2.72  ms   (dst ahead)
-#   6.3 MP (2048x3072):  mg 5.61  vs dst 5.32  ms   (within 6%)
-#   10.6 MP (2798x3798): mg 12.51 vs dst 12.66 ms   (mg AHEAD)
+#   3.7 MP (1550x2398):  mg 4.67  vs dst 3.38  ms   (dst ahead)
+#   6.3 MP (2048x3072):  mg 5.04  vs dst 4.74  ms   (within 6%)
+#   10.6 MP (2798x3798): mg 10.74 vs dst 13.40 ms   (mg AHEAD 20%)
 #
 # -> crossover ~7 MP (was 25 MP pre-fusion, 150 MP in round 1). In
-# fixed-work mode the margin is wider still: 11.28 vs 12.66 at 10.6 MP.
-# The direct solve also stops being the right answer on other axes: its
-# O(H^2+W^2) eigenbasis + O(N) GEMM workspace approach the HBM budget (a
-# 12k-square basis pair alone is >1 GB) and its f32 conditioning degrades
-# with size (rel-residual 5.3e-3 at 3.7 MP -> 1.1e-2 at 6.3 -> 1.7e-2 at
-# 10.6, vs multigrid's <= 1.5e-4 everywhere) — beyond the crossover the
-# iterative path is faster AND the only one that can honor tol at all.
-# Serving pipelines that know their quality bar should prefer fixed-work
-# multigrid (mg_cycles=4) from ~6 MP up.
+# fixed-work mode the margin is wider still: 10.28 vs 13.40 at 10.6 MP —
+# and at the 3.7 MP headline fixed-4 multigrid already MATCHES the
+# direct solve (3.35 vs 3.38). The direct solve also stops being the
+# right answer on other axes: its O(H^2+W^2) eigenbasis + O(N) GEMM
+# workspace approach the HBM budget (a 12k-square basis pair alone is
+# >1 GB) and its f32 conditioning degrades with size (rel-residual
+# 5.3e-3 at 3.7 MP -> 1.1e-2 at 6.3 -> 1.7e-2 at 10.6, vs multigrid's
+# <= 1.5e-4 everywhere) — beyond the crossover the iterative path is
+# faster AND the only one that can honor tol at all. Serving pipelines
+# that know their quality bar should prefer fixed-work multigrid
+# (mg_cycles=4) from ~4 MP up.
 AUTO_CROSSOVER_PIXELS = 7_000_000
 
 # Chained-serve crossover (the engine's planar serve programs): the dst
