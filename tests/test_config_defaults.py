@@ -44,6 +44,19 @@ class TestFastDefaults:
         assert cfg.use_pallas_postprocess is True
         assert cfg.use_pallas_smoother is True
 
+    def test_solve_multigrid_defaults_to_quarter_mode(self):
+        """Bare solve_multigrid() ships the measured-fast quarter-plane
+        mode (round 5 — best path as the default; the gate degrades it
+        safely off-TPU/small/odd-nu)."""
+        import inspect
+
+        from seamlesscloneoptimization_tpu.solvers.multigrid import (
+            _solve_multigrid_jit,
+        )
+
+        sig = inspect.signature(_solve_multigrid_jit)
+        assert sig.parameters["padded"].default == "q"
+
     def test_api_and_cli_default_to_auto(self):
         import inspect
 
