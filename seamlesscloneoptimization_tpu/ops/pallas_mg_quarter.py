@@ -207,25 +207,24 @@ def _lane_sh_q(wq: int, wq2: int):
             lambda x: jnp.pad(x[:, 1:], ((0, 0), (0, 1))))
 
 
-import os as _os
-
-_SUBROLL = _os.environ.get("SCL_MG_SUBROLL", "0") == "1"  # trace-time A/B
-
-
 def _sub_sh(x, up: bool):
     """Sublane +-1 shift (quarter-row neighbors).
 
-    Default: pad+slice with zero fill. SCL_MG_SUBROLL=1 uses a cyclic
-    ``pltpu.roll`` instead — the wrapped row lands at the WINDOW edge
-    (ghost row 0 / last), whose post-update values are already inside the
-    discarded staleness band (the same wavefront argument that lets the
-    zero fill be wrong vs the true array there: divergence advances one
-    row per half-sweep and the _MQ ghost budget keeps it off the owned
-    rows), so owned-row outputs are bit-identical either way. A/B probe
-    for whether Mosaic's sublane rotate beats the pad+slice copy the way
-    the lane-direction roll did (tools/probe_nsum.py: 1.8x).
+    Default: pad+slice with zero fill. SCL_MG_SUBROLL=1 (read at TRACE
+    time, like the other SCL_* probe knobs) uses a cyclic ``pltpu.roll``
+    instead — the wrapped row lands at the WINDOW edge (ghost row 0 /
+    last), whose post-update values are already inside the discarded
+    staleness band (the same wavefront argument that lets the zero fill
+    be wrong vs the true array there: divergence advances one row per
+    half-sweep and the _MQ ghost budget keeps it off the owned rows), so
+    owned-row outputs are bit-identical either way. A/B probe for whether
+    Mosaic's sublane rotate beats the pad+slice copy the way the
+    lane-direction roll did (tools/probe_nsum.py: 1.8x) — measured a wash
+    on 2026-08-20 Mosaic (tools/tpu_queue.md §5), kept for re-probing.
     """
-    if _SUBROLL:
+    import os
+
+    if os.environ.get("SCL_MG_SUBROLL", "0") == "1":
         return pltpu.roll(x, 1 if up else x.shape[0] - 1, 0)
     if up:  # x[i-1]
         return jnp.pad(x[:-1, :], ((1, 0), (0, 0)))

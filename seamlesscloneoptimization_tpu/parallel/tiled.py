@@ -415,18 +415,19 @@ def solve_multigrid_dd(
             # ascent: nu2 CA sweeps
             return sweeps(u, nu2)[:, k : k + th, k : k + tw]
 
-        # static cycle counts run as straight-line repetitions, not a
-        # fori_loop: the loop slot cannot be read and written by the same
-        # iteration without a full carry copy (measured 0.4 ms per cycle on
-        # the 8K single-chip quarters carry — solvers/multigrid._cycle_chain)
-        from seamlesscloneoptimization_tpu.solvers.multigrid import (
-            _cycle_chain,
-            _tol_burst,
-        )
+        # NOTE: the single-chip quarter path unrolls its static cycle
+        # chains (solvers/multigrid._cycle_chain) because an unaliased
+        # Pallas custom call in a fori body forces a full carry copy per
+        # iteration. This body is pure XLA inside shard_map — the carry
+        # CAN alias — and each unrolled repetition would duplicate the
+        # all_gather + recursive replicated-coarse trace (minutes of
+        # tunnel compile). Keep the fori_loop until a pod-scale profile
+        # shows a carry copy here.
+        from seamlesscloneoptimization_tpu.solvers.multigrid import _tol_burst
 
         u = jnp.zeros_like(g_loc)
         if tol is None:
-            return _cycle_chain(lambda _, x: vcycle_local(x), u, cycles)
+            return jax.lax.fori_loop(0, cycles, lambda _, x: vcycle_local(x), u)
         # tolerance mode: check-free burst, then verified cycles (the same
         # protocol as the single-chip solver — the DD cycle has the same
         # contraction, see the class docstring)
@@ -442,7 +443,7 @@ def solve_multigrid_dd(
             return jax.lax.pmax(jax.lax.pmax(m, "ty"), "tx")
 
         burst = _tol_burst(tol, max_cycles, nu1, nu2)
-        u = _cycle_chain(lambda _, x: vcycle_local(x), u, burst)
+        u = jax.lax.fori_loop(0, burst, lambda _, x: vcycle_local(x), u)
 
         def cond(state):
             x, it = state

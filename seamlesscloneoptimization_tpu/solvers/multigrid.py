@@ -601,8 +601,8 @@ def _cycle_chain(body, st, n: int):
     Bit-identical either way (same ops in the same order).
     """
     if n <= 8:
-        for _ in range(n):
-            st = body(0, st)
+        for i in range(n):
+            st = body(i, st)
         return st
     return jax.lax.fori_loop(0, n, body, st)
 
@@ -804,9 +804,12 @@ def _solve_multigrid_jit(
     fmg_start: bool = False,
     padded: bool | str = "q",  # the measured-fast default (CloneConfig's
     # mg_padded): quarter-plane finest level + transpose-fused coarse chain.
-    # Self-gating — off-TPU / small grids / unusual nu fall back through
-    # "t"/dense automatically, so a bare solve_multigrid() call gets the
-    # same path the engine ships (the imp.h:15 best-path-as-default rule).
+    # Self-gating — when the quarter gate fails (off-TPU, small grids,
+    # nu1 < 1 or oversized nu) the truthy ``padded`` falls to the
+    # rounded-space vcycle_p branch, and off-TPU _fused_level gates that
+    # off too, landing on the element-mode path — so a bare
+    # solve_multigrid() call gets the fastest applicable chain everywhere
+    # (the imp.h:15 best-path-as-default rule).
     padded_output: bool = False,
     true_hw: tuple[int, int] | None = None,
 ):
