@@ -75,6 +75,24 @@ def main():
     print(f"wrote {out_dir / 'tiled_result.jpg'}")
     assert diff.max() <= 1, "sharded pipeline diverged from the local one"
 
+    # Mesh SERVE mode (round 5): the engine's instance contract over the
+    # same mesh — executable cache, async run/sync, device-resident planar
+    # chaining with the destination sharded across frames (see
+    # docs/SERVING.md). Two chained frames: frame 2's destination IS frame
+    # 1's on-mesh output, no host round-trip between them.
+    from seamlesscloneoptimization_tpu.core.config import CloneConfig
+    from seamlesscloneoptimization_tpu.parallel import TiledSeamlessClone
+
+    eng = TiledSeamlessClone(CloneConfig(tol=1e-5), mesh=mesh)
+    f1 = eng.run(a, s, mask.copy(), center)
+    f2 = eng.run(a, f1, mask.copy(), (center[0] // 2, center[1] // 2))
+    eng.sync()
+    print(f"mesh serve: 2 chained frames, solver_resolved="
+          f"{eng.metrics['solver_resolved']}, "
+          f"{len(eng._cache)} cached executable(s)")
+    cv2.imwrite(str(out_dir / "tiled_serve_chained.jpg"), np.asarray(f2))
+    print(f"wrote {out_dir / 'tiled_serve_chained.jpg'}")
+
 
 if __name__ == "__main__":
     main()
