@@ -117,6 +117,11 @@ class TestEngine:
         assert ms > 0
         assert out.shape == sky.shape
         assert np.array_equal(out[0], sky[0])  # first row outside the ROI
+        # the layout-pin regression telemetry exists and reads clean on a
+        # healthy serve (VERDICT r4 weak #4; bench extras surface it)
+        assert eng.metrics["heal_fired"] is False
+        assert eng.metrics["heal_count"] == 0
+        assert eng.metrics["solver_resolved"] == "dst_gemm"
 
     def test_per_instance_memory_accounting(self, airplane, sky, full_mask):
         """device_memory_bytes is per-engine (ref: SCImage::mOccupy): a second
